@@ -1,0 +1,94 @@
+"""Variational autoencoder generators and latent-inversion support.
+
+Capability-equivalents of the reference's Vae* family:
+- VaeMarmousi_Net (networks.py:4336-4499): encoder -> (mu, logvar),
+  reparameterized latent, conv decoder, KL at the model layer
+  (Vae2_model.py:223-224).
+- VaeNoPhy / Vaevel pretraining nets (networks.py:15021, 16507).
+- Latent-space inversion (VaeLatent2NoPhy_model.py:395-560): decoder
+  frozen, optimize the latent through the propagator.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from physicsbasedfwi2_tpu.models.autoencoders import Decoder2D, Encoder2D
+
+
+class VaeNet(nn.Module):
+    """VAE generator. Returns (field01, mu, logvar, z)."""
+
+    out_shape: tuple[int, int]
+    out_channels: int = 1
+    latent_dim: int = 8
+    filters: Sequence[int] = (16, 32, 64, 128)
+    time_decimation: int = 4
+    norm: str = "group"
+
+    @nn.compact
+    def __call__(self, shots, *, deterministic: bool = True,
+                 rng_key=None):
+        h = Encoder2D(2 * self.latent_dim, self.filters,
+                      self.time_decimation, self.norm)(
+            shots, deterministic=deterministic)
+        mu, logvar = jnp.split(h, 2, axis=-1)
+        if deterministic:
+            z = mu
+        else:
+            if rng_key is None:
+                rng_key = self.make_rng("latent")
+            std = jnp.exp(0.5 * logvar)
+            z = mu + std * jax.random.normal(rng_key, mu.shape)
+        out = Decoder2D(self.out_shape, self.out_channels, self.filters,
+                        norm=self.norm)(z, deterministic=deterministic)
+        return out, mu, logvar, z
+
+    def decode(self, z, *, deterministic: bool = True):
+        """Decoder-only application (for frozen-decoder latent
+        inversion)."""
+        return Decoder2D(self.out_shape, self.out_channels, self.filters,
+                         norm=self.norm)(z, deterministic=deterministic)
+
+
+class ModelVae(nn.Module):
+    """Velocity-model VAE for generative pretraining (Vaevel /
+    VaeNoPhy capability, networks.py:16507, 15021): image -> latent
+    -> image.  Returns (recon01, mu, logvar, z)."""
+
+    out_shape: tuple[int, int]
+    out_channels: int = 1
+    latent_dim: int = 8
+    filters: Sequence[int] = (16, 32, 64, 128)
+    norm: str = "group"
+
+    @nn.compact
+    def __call__(self, model_img, *, deterministic: bool = True,
+                 rng_key=None):
+        x = model_img
+        from physicsbasedfwi2_tpu.models.blocks import Down
+        for f in self.filters:
+            x = Down(f, self.norm)(x, deterministic=deterministic)
+        x = x.reshape((x.shape[0], -1))
+        h = nn.Dense(2 * self.latent_dim)(x)
+        mu, logvar = jnp.split(h, 2, axis=-1)
+        if deterministic:
+            z = mu
+        else:
+            if rng_key is None:
+                rng_key = self.make_rng("latent")
+            z = mu + jnp.exp(0.5 * logvar) * jax.random.normal(
+                rng_key, mu.shape)
+        out = Decoder2D(self.out_shape, self.out_channels, self.filters,
+                        norm=self.norm)(z, deterministic=deterministic)
+        return out, mu, logvar, z
+
+
+def kl_divergence(mu: jnp.ndarray, logvar: jnp.ndarray) -> jnp.ndarray:
+    """Standard-normal KL (ref Vae2_model.py:223-224)."""
+    return jnp.mean(-0.5 * jnp.sum(1 + logvar - mu ** 2 - jnp.exp(logvar),
+                                   axis=-1))
