@@ -1,0 +1,208 @@
+"""Synthetic workload generation.
+
+The reference trains against pre-generated .npy shot gathers (and for
+elastic, pre-generated DENISE .su files copied at runtime —
+networks.py:7669-7692).  The rebuild generates equivalent observed
+data with its own propagators: Marmousi-like layered velocity models
++ simulated gathers, either in memory or written out in the
+reference's directory contract (trainA/trainB/trainC/trainD).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+import jax.numpy as jnp
+
+from physicsbasedfwi2_tpu.geo import Grid2D, check_cfl, ricker, surface_line
+from physicsbasedfwi2_tpu.geo.acquisition import Acquisition
+from physicsbasedfwi2_tpu.ops import (
+    AcousticConfig, ElasticConfig, simulate_acoustic, simulate_elastic,
+    trace_normalize,
+)
+from physicsbasedfwi2_tpu.geo.filters import lowpass_filter_time
+
+
+def make_layered_model(nz: int, nx: int, *, v_top=1500.0, v_bottom=4000.0,
+                       water_rows: int = 0, seed: int = 0,
+                       n_layers: int = 8) -> np.ndarray:
+    """Random layered velocity model with lateral undulation."""
+    rng = np.random.default_rng(seed)
+    depths = np.sort(rng.uniform(water_rows, nz, n_layers))
+    vels = np.linspace(v_top if water_rows == 0 else 1600.0, v_bottom,
+                       n_layers + 1)
+    x = np.arange(nx)
+    model = np.full((nz, nx), vels[0], np.float32)
+    for i, d in enumerate(depths):
+        und = d + 5.0 * np.sin(2 * np.pi * x / nx * rng.integers(1, 4)
+                               + rng.uniform(0, 2 * np.pi))
+        mask = np.arange(nz)[:, None] >= und[None, :]
+        model[mask] = vels[i + 1]
+    if water_rows > 0:
+        model[:water_rows] = 1500.0
+    return model
+
+
+def make_marmousi_like(nz: int = 151, nx: int = 200, *, seed: int = 0,
+                       water_rows: int = 26) -> np.ndarray:
+    """Marmousi-flavoured model: water, dipping layers, a fault and a
+    high-velocity wedge (stand-in for the reference's trainB data)."""
+    m = make_layered_model(nz, nx, water_rows=water_rows, seed=seed)
+    rng = np.random.default_rng(seed + 1)
+    # dipping fault: shift columns progressively
+    f0 = int(nx * 0.45)
+    shift = ((np.arange(nx) - f0) * 0.15).astype(int)
+    for j in range(nx):
+        if shift[j] > 0:
+            m[:, j] = np.roll(m[:, j], min(shift[j], 10))
+    m[:water_rows] = 1500.0
+    # wedge anomaly
+    zc, xc = int(nz * 0.6), int(nx * 0.55)
+    z, x = np.mgrid[0:nz, 0:nx]
+    wedge = (np.abs(z - zc) < 12) & (np.abs(x - xc) < 30)
+    m[wedge] += 250.0
+    return np.clip(m, 1500.0, 4700.0).astype(np.float32)
+
+
+def smooth_model(m: np.ndarray, iters: int = 40,
+                 preserve_rows: int = 0) -> np.ndarray:
+    """Heavy smoothing -> the low-frequency starting model (trainC
+    role)."""
+    s = m.astype(np.float32).copy()
+    for _ in range(iters):
+        s[1:-1, :] = 0.25 * s[2:, :] + 0.5 * s[1:-1, :] + 0.25 * s[:-2, :]
+        s[:, 1:-1] = 0.25 * s[:, 2:] + 0.5 * s[:, 1:-1] + 0.25 * s[:, :-2]
+    if preserve_rows > 0:
+        s[:preserve_rows] = m[:preserve_rows]
+    return s
+
+
+def make_elastic_model(vp: np.ndarray, *, vpvs: float = 1.8,
+                       water_rows: int = 0):
+    """(vp, vs, rho) from vp via vp/vs ratio and Gardner density."""
+    vs = (vp / vpvs).astype(np.float32)
+    rho = (310.0 * vp ** 0.25).astype(np.float32)  # Gardner
+    if water_rows > 0:
+        vs[:water_rows] = 0.0
+        rho[:water_rows] = 1000.0
+    return vp.astype(np.float32), vs, rho
+
+
+@dataclasses.dataclass
+class SyntheticAcousticWorkload:
+    """In-memory equivalent of the unalignedVelABCD2 npy tree:
+    A = observed gathers, B = true model, C = smooth start model."""
+
+    grid: Grid2D
+    cfg: AcousticConfig
+    acq: Acquisition
+    wavelet: jnp.ndarray
+    vp_true: jnp.ndarray     # B
+    vp_start: jnp.ndarray    # C
+    obs: jnp.ndarray         # A  [ns, nt, nr]
+    obs_norm: jnp.ndarray
+
+    @classmethod
+    def build(cls, *, nz=151, nx=200, dx=10.0, nt=4001, dt=0.001,
+              pml_width=20, freq=8.0, num_shots=18, num_receivers=200,
+              seed=0, water_rows=26, chunk=64, backend="xla"):
+        grid = Grid2D(nz=nz, nx=nx, dx=dx, nt=nt, dt=dt,
+                      pml_width=pml_width)
+        cfg = AcousticConfig(grid=grid, chunk=chunk, vmax_pml=5000.0)
+        wav = ricker(freq, nt, dt)
+        acq = surface_line(num_shots, num_receivers, nx,
+                           src_depth=0, rcv_depth=0)
+        vp_true = jnp.asarray(make_marmousi_like(
+            nz, nx, seed=seed, water_rows=water_rows))
+        check_cfl(float(vp_true.max()), grid)
+        vp_start = jnp.asarray(smooth_model(
+            np.asarray(vp_true), preserve_rows=water_rows))
+        geom = tuple(jnp.asarray(a) for a in
+                     (acq.src_z, acq.src_x, acq.rcv_z, acq.rcv_x))
+        if backend == "pallas":
+            from physicsbasedfwi2_tpu.ops.pallas_kernels import (
+                acoustic_forward_pallas)
+            obs = acoustic_forward_pallas(vp_true, wav, *geom, cfg)
+        else:
+            obs = simulate_acoustic(vp_true, wav, *geom, cfg)
+        return cls(grid=grid, cfg=cfg, acq=acq, wavelet=wav,
+                   vp_true=vp_true, vp_start=vp_start, obs=obs,
+                   obs_norm=trace_normalize(obs))
+
+    @property
+    def geom(self):
+        return tuple(jnp.asarray(a) for a in
+                     (self.acq.src_z, self.acq.src_x,
+                      self.acq.rcv_z, self.acq.rcv_x))
+
+
+@dataclasses.dataclass
+class SyntheticElasticWorkload:
+    """In-memory equivalent of unalignedVelABCDEl: A/D = vx/vz
+    gathers, B = (vp, vs, rho) true, C = smooth low-frequency
+    start."""
+
+    grid: Grid2D
+    cfg: ElasticConfig
+    acq: Acquisition
+    wavelet: jnp.ndarray
+    true: dict               # {"vp","vs","rho"}
+    start: dict
+    obs_vx: jnp.ndarray
+    obs_vz: jnp.ndarray
+
+    @classmethod
+    def build(cls, *, nz=100, nx=300, dx=20.0, nt=1667, dt=0.0015,
+              pml_width=20, freq=10.0, num_shots=35, num_receivers=298,
+              seed=0, water_rows=26, chunk=64, free_surface=True,
+              fc_low: float | None = None):
+        grid = Grid2D(nz=nz, nx=nx, dx=dx, nt=nt, dt=dt,
+                      pml_width=pml_width, free_surface=free_surface)
+        cfg = ElasticConfig(grid=grid, chunk=chunk, vmax_pml=5000.0)
+        wav = ricker(freq, nt, dt)
+        vp = make_marmousi_like(nz, nx, seed=seed, water_rows=water_rows)
+        check_cfl(float(vp.max()), grid)
+        vp_t, vs_t, rho_t = make_elastic_model(vp, water_rows=water_rows)
+        vp_s = smooth_model(vp_t, preserve_rows=water_rows)
+        vs_s = smooth_model(vs_t, preserve_rows=water_rows)
+        rho_s = smooth_model(rho_t, preserve_rows=water_rows)
+        num_shots = num_shots
+        src_x = np.round(np.linspace(2, nx - 3, num_shots)).astype(np.int32)
+        src_z = np.full(num_shots, min(water_rows + 1, nz - 2), np.int32)
+        rx = np.round(np.linspace(1, nx - 2, num_receivers)).astype(np.int32)
+        acq = Acquisition(src_z, src_x,
+                          np.full((num_shots, num_receivers),
+                                  min(water_rows + 1, nz - 2), np.int32),
+                          np.tile(rx, (num_shots, 1)))
+        geom = tuple(jnp.asarray(a) for a in
+                     (acq.src_z, acq.src_x, acq.rcv_z, acq.rcv_x))
+        ovx, ovz = simulate_elastic(jnp.asarray(vp_t), jnp.asarray(vs_t),
+                                    jnp.asarray(rho_t), wav, *geom, cfg)
+        if fc_low:
+            ovx = lowpass_filter_time(ovx, fc_low, dt, axis=1)
+            ovz = lowpass_filter_time(ovz, fc_low, dt, axis=1)
+        return cls(grid=grid, cfg=cfg, acq=acq, wavelet=wav,
+                   true={"vp": jnp.asarray(vp_t), "vs": jnp.asarray(vs_t),
+                         "rho": jnp.asarray(rho_t)},
+                   start={"vp": jnp.asarray(vp_s), "vs": jnp.asarray(vs_s),
+                          "rho": jnp.asarray(rho_s)},
+                   obs_vx=ovx, obs_vz=ovz)
+
+    @property
+    def geom(self):
+        return tuple(jnp.asarray(a) for a in
+                     (self.acq.src_z, self.acq.src_x,
+                      self.acq.rcv_z, self.acq.rcv_x))
+
+
+def write_npy_tree(root: str, workload: SyntheticAcousticWorkload,
+                   *, phase: str = "train"):
+    """Materialize the reference's on-disk contract
+    (<root>/<phase>A/0.npy etc.) from a synthetic workload."""
+    import os
+    for letter, arr in (("A", workload.obs), ("B", workload.vp_true),
+                        ("C", workload.vp_start)):
+        d = os.path.join(root, phase + letter)
+        os.makedirs(d, exist_ok=True)
+        np.save(os.path.join(d, "0.npy"), np.asarray(arr))

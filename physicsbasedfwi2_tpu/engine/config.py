@@ -1,0 +1,159 @@
+"""Experiment configuration and workload registry.
+
+Replaces the reference's three-stage argparse system (options/
+base_options.py:60-93, where each model/dataset class mutates the
+flag defaults) with one frozen dataclass plus a name->config registry
+mirroring every training shell script / BASELINE.json config.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any
+
+
+@dataclasses.dataclass
+class ExperimentConfig:
+    # identity
+    name: str = "experiment"
+    engine: str = "acoustic_dip"       # engine key (create_engine)
+    netG: str = "Auto22"               # generator registry name
+    dataset_mode: str = "unalignedVelABCD2"
+    dataroot: str | None = None        # None -> synthetic workload
+
+    # grid / physics (reference defaults: networks.py:5339-5345)
+    nz: int = 151
+    nx: int = 200
+    dx: float = 10.0
+    nt: int = 4001
+    dt: float = 0.001
+    pml_width: int = 20
+    free_surface: bool = False
+    freq: float = 8.0                  # source peak frequency (Hz)
+    num_shots: int = 18
+    num_receivers: int = 200
+    shots_per_iter: int | None = None  # random shot subset (elastic: 5)
+    water_vel: float = 1500.0
+    water_rows: int = 26               # pinned top rows (elastic)
+
+    # training (train_options.py defaults; scripts override)
+    batch_size: int = 1
+    lr: float = 0.01
+    beta1: float = 0.5
+    optimizer: str = "adam"            # adam | lbfgs | sgld | sghmc
+    lr_policy: str = "linear"
+    n_epochs: int = 100
+    n_epochs_decay: int = 100
+    lstart: int = 0                    # physics kicks in after this epoch
+    grad_scale: float = 1.0e5          # VJP scale (Auto22_model.py:300)
+    misfit: str = "l1"
+    supervised_weight: float = 0.0     # model-MSE term weight
+    anchor_weight: float = 0.0         # low-freq anchor (elastic: on)
+    kl_weight: float = 0.0             # VAE
+    latent_dim: int = 8
+    filters: tuple = (16, 32, 64, 128)
+    time_decimation: int = 4
+    dropout: float = 0.0
+
+    # frequency continuation (trainValLatent4dVel2Elastic.py:49-51,136-146)
+    freq_stages: tuple = ()            # e.g. (10.0, 15.0, 20.0) fc_high Hz
+    plateau_eps: float = 5e-10
+    plateau_history: int = 5
+
+    # propagator
+    order: int = 4
+    chunk: int = 64
+    backend: str = "auto"              # auto | pallas | xla
+
+    # bookkeeping
+    save_dir: str = "./checkpoints"
+    save_epoch_freq: int = 50
+    seed: int = 0
+    extras: dict = dataclasses.field(default_factory=dict)
+
+    def replace(self, **kw) -> "ExperimentConfig":
+        return dataclasses.replace(self, **kw)
+
+
+_WORKLOADS: dict[str, ExperimentConfig] = {}
+
+
+def register_workload(name: str, cfg: ExperimentConfig):
+    _WORKLOADS[name.lower()] = cfg
+
+
+def get_workload(name: str, **overrides) -> ExperimentConfig:
+    cfg = _WORKLOADS[name.lower()]
+    return cfg.replace(name=name, **overrides) if overrides else \
+        cfg.replace(name=name)
+
+
+def list_workloads() -> list[str]:
+    return sorted(_WORKLOADS)
+
+
+# --- BASELINE.json config 1/2: Marmousi acoustic DIP ---------------------
+register_workload("marmousi_acoustic", ExperimentConfig(
+    engine="acoustic_dip", netG="Auto22",
+    nz=151, nx=200, dx=10.0, nt=4001, dt=0.001, freq=8.0,
+    num_shots=18, num_receivers=200,
+    lr=0.01, lstart=0, misfit="l1",
+))
+register_workload("marmousi_acoustic_unet", ExperimentConfig(
+    engine="acoustic_dip", netG="Unet22",
+    nz=151, nx=200, dx=10.0, nt=4001, dt=0.001, freq=8.0,
+    num_shots=18, num_receivers=200, lr=0.01,
+))
+register_workload("marmousi_acoustic_vae", ExperimentConfig(
+    engine="acoustic_dip", netG="Vae2", kl_weight=1e-4,
+    nz=151, nx=200, dx=10.0, nt=4001, dt=0.001, freq=8.0,
+    num_shots=18, num_receivers=200, lr=0.01,
+))
+
+# --- BASELINE.json config 3: Marmousi elastic (Adam and L-BFGS) ----------
+_EL = ExperimentConfig(
+    engine="elastic_dip", netG="AutoElMar22",
+    dataset_mode="unalignedVelABCDEl",
+    nz=100, nx=300, dx=20.0, nt=3334, dt=0.0015, freq=10.0,
+    free_surface=True, num_shots=35, num_receivers=298,
+    shots_per_iter=5, water_rows=26,
+    lr=0.001, anchor_weight=1.0, misfit="l2",
+    freq_stages=(10.0, 15.0, 20.0),
+)
+register_workload("marmousi_elastic", _EL)
+register_workload("marmousi_elastic_lbfgs",
+                  _EL.replace(optimizer="lbfgs", lr=5e-8))
+
+# --- BASELINE.json config 4: VAE latent-space inversion ------------------
+register_workload("latent_inversion", ExperimentConfig(
+    engine="latent_inversion", netG="VaeLatent2NoPhy",
+    dataset_mode="unalignedVelLatent2",
+    nz=151, nx=201, dx=10.0, nt=800, dt=0.0015, freq=15.0,
+    num_shots=10, num_receivers=150, lr=0.1,
+))
+
+# --- BASELINE.json config 5: SEAM elastic + MCDIP UQ ---------------------
+register_workload("seam_elastic", _EL.replace(
+    netG="AutoSEAMMar22", dx=30.0, nz=120, nx=300, num_shots=20,
+    num_receivers=148))
+register_workload("mcdip_uq", _EL.replace(
+    netG="AutoElMarMCDIP22", dropout=0.1))
+
+# --- classic FWI (no net): AutoEl22N (networks.py:6477-6520) -------------
+register_workload("classic_fwi_elastic", _EL.replace(
+    engine="classic_fwi", netG="AutoEl22N"))
+register_workload("classic_fwi_acoustic", ExperimentConfig(
+    engine="classic_fwi", netG="AutoEl22N",
+    nz=151, nx=200, dx=10.0, nt=4001, dt=0.001, freq=8.0,
+    num_shots=18, num_receivers=200, lr=20.0, misfit="l1",
+))
+
+# --- supervised / GAN baselines (pix2pix2*, unetSSIMAC) ------------------
+register_workload("pix2pix_baseline", ExperimentConfig(
+    engine="supervised", netG="unet_128", dataset_mode="unaligned2",
+    lr=2e-4, beta1=0.5,
+    extras={"gan_mode": "lsgan", "lambda_l1": 10.0}))
+register_workload("unet_ssim_baseline", ExperimentConfig(
+    engine="supervised", netG="unet_128", dataset_mode="unalignedAC2",
+    lr=2e-4, extras={"gan_mode": "none", "lambda_l1": 100.0,
+                     "ssim_window": 5}))

@@ -1,0 +1,615 @@
+"""Inversion engines — the BaseModel layer rebuilt TPU-first.
+
+Each engine owns: a Flax generator, an optax optimizer, the physics
+configuration, and jitted train/eval steps.  The public API mirrors
+the reference's BaseModel contract (models/base_model.py:8-244):
+``setup``, ``optimize_parameters``, ``test``/``compute_losses``,
+``save_networks``/``load_networks`` — but the compute path is one
+autodiff graph under jit instead of the reference's detach +
+``fake_B.backward(grad)`` VJP injection (Auto22_model.py:284-330).
+The reference's gradient post-processing (scale x1e5, depth^2
+weighting, water mask) is preserved exactly via a `jax.custom_vjp`
+wrapper around the physics loss, so its hyperparameters transfer.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+import os
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from physicsbasedfwi2_tpu.engine.config import ExperimentConfig
+from physicsbasedfwi2_tpu.data.synthetic import (
+    SyntheticAcousticWorkload, SyntheticElasticWorkload,
+)
+from physicsbasedfwi2_tpu.geo.filters import lowpass_filter_time
+from physicsbasedfwi2_tpu.models import (
+    define_generator, apply_velocity_output, apply_elastic_output,
+    kl_divergence,
+)
+from physicsbasedfwi2_tpu.ops import (
+    simulate_acoustic, simulate_elastic, trace_normalize,
+)
+from physicsbasedfwi2_tpu.ops.misfit import l1_misfit, l2_misfit
+from physicsbasedfwi2_tpu.ops.gradproc import (
+    depth_weighting, water_mask, taper_top, rescale_to_model,
+)
+from physicsbasedfwi2_tpu.optim.lbfgs import lbfgs_wolfe
+from physicsbasedfwi2_tpu.optim.sgmcmc import sgld, sghmc
+
+
+def _make_optimizer(cfg: ExperimentConfig):
+    if cfg.optimizer == "adam":
+        return optax.adam(cfg.lr, b1=cfg.beta1)
+    if cfg.optimizer == "lbfgs":
+        return lbfgs_wolfe(memory_size=10)
+    if cfg.optimizer == "sgld":
+        return sgld(cfg.lr, seed=cfg.seed)
+    if cfg.optimizer == "sghmc":
+        return sghmc(cfg.lr, seed=cfg.seed)
+    raise ValueError(f"unknown optimizer {cfg.optimizer!r}")
+
+
+class EngineBase:
+    """Shared checkpoint/bookkeeping plumbing."""
+
+    cfg: ExperimentConfig
+    params: Any
+    opt_state: Any
+
+    def save_networks(self, tag: str | int):
+        """Orbax-free portable save (np .npz of flattened params) —
+        the <epoch>_net_G.pth role (base_model.py:154-170).  Full
+        train-state checkpointing (optimizer state included — which
+        the reference drops) lives in engine/checkpoint.py."""
+        import pickle
+        os.makedirs(self._dir(), exist_ok=True)
+        path = os.path.join(self._dir(), f"{tag}_net_G.pkl")
+        with open(path, "wb") as f:
+            pickle.dump(jax.tree_util.tree_map(np.asarray, self.params), f)
+        return path
+
+    def load_networks(self, tag: str | int):
+        import pickle
+        path = os.path.join(self._dir(), f"{tag}_net_G.pkl")
+        with open(path, "rb") as f:
+            loaded = pickle.load(f)
+        self.params = jax.tree_util.tree_map(jnp.asarray, loaded)
+        return path
+
+    def _dir(self):
+        return os.path.join(self.cfg.save_dir, self.cfg.name)
+
+
+# ---------------------------------------------------------------------------
+# acoustic deep-image-prior engine (Auto22/Unet22/Vae2/... workloads)
+# ---------------------------------------------------------------------------
+
+class AcousticDIPEngine(EngineBase):
+    """Generator-reparameterized acoustic FWI (reference call stack
+    SURVEY.md §3.1)."""
+
+    def __init__(self, cfg: ExperimentConfig, workload=None):
+        self.cfg = cfg
+        self.wl = workload or SyntheticAcousticWorkload.build(
+            nz=cfg.nz, nx=cfg.nx, dx=cfg.dx, nt=cfg.nt, dt=cfg.dt,
+            pml_width=cfg.pml_width, freq=cfg.freq,
+            num_shots=cfg.num_shots, num_receivers=cfg.num_receivers,
+            seed=cfg.seed, chunk=cfg.chunk)
+        self.net = define_generator(
+            cfg.netG, out_shape=(cfg.nz, cfg.nx), latent_dim=cfg.latent_dim,
+            filters=cfg.filters, time_decimation=cfg.time_decimation,
+            dropout=cfg.dropout)
+        self.is_vae = cfg.netG.lower().startswith("vae")
+        # net input: [1, nt, nr, ns]
+        self.shots_in = jnp.transpose(self.wl.obs, (1, 2, 0))[None]
+        self.true_b = self.wl.vp_true[None, :, :, None]
+        rngs = {"params": jax.random.PRNGKey(cfg.seed)}
+        if self.is_vae:
+            rngs["latent"] = jax.random.PRNGKey(cfg.seed + 1)
+        self.params = self.net.init(rngs, self.shots_in)
+        self.opt = _make_optimizer(cfg)
+        self.opt_state = self.opt.init(self.params)
+        self._build_steps()
+
+    # -- physics loss with reference-style gradient post-processing --
+    def _physics_loss_raw(self, vp):
+        cfg, wl = self.cfg, self.wl
+        pred = simulate_acoustic(vp, wl.wavelet, *wl.geom, wl.cfg)
+        pred = trace_normalize(pred)
+        mis = l1_misfit if cfg.misfit == "l1" else l2_misfit
+        return mis(pred, wl.obs_norm)
+
+    def _make_physics_loss(self):
+        """custom_vjp wrapper reproducing the reference's processed
+        VJP (networks.py:5491-5493 + Auto22_model.py:300): dJ/dvp is
+        depth^2-weighted, water-masked and scaled before injection
+        into the generator's autodiff."""
+        cfg = self.cfg
+        raw = self._physics_loss_raw
+        true_model = self.wl.vp_true
+
+        @jax.custom_vjp
+        def physics_loss(vp):
+            return raw(vp)
+
+        def fwd(vp):
+            loss, grad = jax.value_and_grad(raw)(vp)
+            grad = depth_weighting(grad, 2.0)
+            grad = water_mask(grad, true_model, cfg.water_vel)
+            return loss, grad * cfg.grad_scale
+
+        def bwd(grad, g):
+            return (g * grad,)
+
+        physics_loss.defvjp(fwd, bwd)
+        return physics_loss
+
+    def _apply_net(self, params, *, deterministic=True, rng=None):
+        if self.is_vae:
+            rngs = {"latent": rng} if rng is not None else None
+            out, mu, logvar, z = self.net.apply(
+                params, self.shots_in,
+                deterministic=deterministic and rng is None, rngs=rngs)
+            return out, z, (mu, logvar)
+        out, z = self.net.apply(params, self.shots_in,
+                                deterministic=deterministic)
+        return out, z, None
+
+    def _build_steps(self):
+        cfg = self.cfg
+        physics_loss = self._make_physics_loss()
+
+        def total_loss(params, use_physics, rng):
+            f01, latent, vae_aux = self._apply_net(
+                params, deterministic=cfg.dropout == 0, rng=rng)
+            vp = apply_velocity_output(f01, self.true_b,
+                                       water_vel=cfg.water_vel)[0, :, :, 0]
+            model_mse = jnp.mean((vp - self.wl.vp_true) ** 2)
+            loss = jnp.where(use_physics, physics_loss(vp), 0.0)
+            if cfg.supervised_weight > 0:
+                loss = loss + cfg.supervised_weight * model_mse
+            elif not cfg.lstart == 0:
+                # warmup phase trains on the model-MSE oracle
+                loss = loss + jnp.where(use_physics, 0.0, model_mse)
+            if vae_aux is not None and cfg.kl_weight > 0:
+                mu, logvar = vae_aux
+                loss = loss + cfg.kl_weight * kl_divergence(mu, logvar)
+            return loss, (model_mse, vp)
+
+        @functools.partial(jax.jit, static_argnames=("use_physics",))
+        def train_step(params, opt_state, rng, use_physics: bool):
+            (loss, (model_mse, vp)), grads = jax.value_and_grad(
+                total_loss, has_aux=True)(params, use_physics, rng)
+            if cfg.optimizer == "lbfgs":
+                updates, opt_state = self.opt.update(
+                    grads, opt_state, params, value=loss, grad=grads,
+                    value_fn=lambda p: total_loss(p, use_physics, rng)[0])
+            else:
+                updates, opt_state = self.opt.update(grads, opt_state,
+                                                     params)
+            params = optax.apply_updates(params, updates)
+            return params, opt_state, loss, model_mse
+
+        @jax.jit
+        def eval_step(params):
+            f01, latent, _ = self._apply_net(params, deterministic=True)
+            vp = apply_velocity_output(f01, self.true_b,
+                                       water_vel=cfg.water_vel)[0, :, :, 0]
+            return jnp.mean((vp - self.wl.vp_true) ** 2), vp
+
+        self._train_step = train_step
+        self._eval_step = eval_step
+        self._rng = jax.random.PRNGKey(cfg.seed + 7)
+
+    def optimize_parameters(self, epoch: int):
+        """One iteration (reference optimize_parameters,
+        Auto22_model.py:284-330)."""
+        self._rng, sub = jax.random.split(self._rng)
+        use_physics = epoch > self.cfg.lstart
+        self.params, self.opt_state, loss, model_mse = self._train_step(
+            self.params, self.opt_state, sub, use_physics)
+        return {"loss_D" if use_physics else "loss_M": float(loss),
+                "loss_M_MSE": float(model_mse)}
+
+    def test(self):
+        """Validation (reference model.test + compute_loss_only)."""
+        mse, vp = self._eval_step(self.params)
+        return {"loss_V_MSE": float(mse)}, np.asarray(vp)
+
+
+# ---------------------------------------------------------------------------
+# elastic deep-image-prior engine (AutoElMar22 family)
+# ---------------------------------------------------------------------------
+
+class ElasticDIPEngine(EngineBase):
+    """Two-branch elastic FWI with frequency continuation (reference
+    call stack SURVEY.md §3.2)."""
+
+    def __init__(self, cfg: ExperimentConfig, workload=None):
+        self.cfg = cfg
+        self.wl = workload or SyntheticElasticWorkload.build(
+            nz=cfg.nz, nx=cfg.nx, dx=cfg.dx, nt=cfg.nt, dt=cfg.dt,
+            pml_width=cfg.pml_width, freq=cfg.freq,
+            num_shots=cfg.num_shots, num_receivers=cfg.num_receivers,
+            seed=cfg.seed, chunk=cfg.chunk,
+            free_surface=cfg.free_surface, water_rows=cfg.water_rows)
+        self.net = define_generator(
+            cfg.netG, out_shape=(cfg.nz, cfg.nx), latent_dim=cfg.latent_dim,
+            filters=cfg.filters, time_decimation=cfg.time_decimation,
+            dropout=cfg.dropout)
+        self.in_vx = jnp.transpose(self.wl.obs_vx, (1, 2, 0))[None]
+        self.in_vz = jnp.transpose(self.wl.obs_vz, (1, 2, 0))[None]
+        self.lowf = jnp.stack([self.wl.start["vp"], self.wl.start["vs"]],
+                              -1)[None]
+        self.true_m = jnp.stack([self.wl.true["vp"], self.wl.true["vs"]],
+                                -1)[None]
+        self.params = self.net.init(jax.random.PRNGKey(cfg.seed),
+                                    self.in_vx, self.in_vz)
+        self.opt = _make_optimizer(cfg)
+        self.opt_state = self.opt.init(self.params)
+        self.delta_scale = (300.0, 200.0)
+        self.clip_min = (1500.0, 0.0)
+        self.clip_max = (4700.0, 2700.0)
+        self._rng = jax.random.PRNGKey(cfg.seed + 7)
+        self._step_cache = {}
+
+    def _physics_loss_raw(self, vp, vs, fc, shot_idx):
+        """Misfit on a shot subset with per-stage low-pass —
+        the d.grad() role (networks.py:7787)."""
+        cfg, wl = self.cfg, self.wl
+        sz = wl.geom[0][shot_idx]
+        sx = wl.geom[1][shot_idx]
+        rz = wl.geom[2][shot_idx]
+        rx = wl.geom[3][shot_idx]
+        pvx, pvz = simulate_elastic(vp, vs, wl.true["rho"], wl.wavelet,
+                                    sz, sx, rz, rx, wl.cfg)
+        ovx = wl.obs_vx[shot_idx]
+        ovz = wl.obs_vz[shot_idx]
+        if fc and fc > 0:
+            pvx = lowpass_filter_time(pvx, fc, cfg.dt, axis=1)
+            pvz = lowpass_filter_time(pvz, fc, cfg.dt, axis=1)
+            ovx = lowpass_filter_time(ovx, fc, cfg.dt, axis=1)
+            ovz = lowpass_filter_time(ovz, fc, cfg.dt, axis=1)
+        return jnp.mean((pvx - ovx) ** 2) + jnp.mean((pvz - ovz) ** 2)
+
+    def _make_physics_loss(self, fc):
+        """Per-field gradient post-processing chain (networks.py:
+        7799-7862): top-rows taper + per-field rescale to the model
+        magnitude."""
+        cfg = self.cfg
+        raw = self._physics_loss_raw
+
+        @jax.custom_vjp
+        def physics_loss(vp, vs, shot_idx):
+            return raw(vp, vs, fc, shot_idx)
+
+        def fwd(vp, vs, shot_idx):
+            loss, (gvp, gvs) = jax.value_and_grad(
+                lambda a, b: raw(a, b, fc, shot_idx), argnums=(0, 1))(vp, vs)
+            gvp = taper_top(gvp, cfg.water_rows)
+            gvs = taper_top(gvs, cfg.water_rows)
+            gvp = rescale_to_model(gvp, vp)
+            gvs = rescale_to_model(gvs, vs)
+            return loss, (gvp, gvs)
+
+        def bwd(res, g):
+            gvp, gvs = res
+            return (g * gvp, g * gvs, None)
+
+        physics_loss.defvjp(fwd, bwd)
+        return physics_loss
+
+    def _get_step(self, fc):
+        if fc in self._step_cache:
+            return self._step_cache[fc]
+        cfg = self.cfg
+        physics_loss = self._make_physics_loss(fc)
+
+        def total_loss(params, shot_idx, rng):
+            det = cfg.dropout == 0
+            rngs = {"dropout": rng} if not det else None
+            deltas, z = self.net.apply(params, self.in_vx, self.in_vz,
+                                       deterministic=det, rngs=rngs)
+            m = apply_elastic_output(
+                deltas, self.lowf, self.true_m,
+                delta_scale=self.delta_scale, clip_min=self.clip_min,
+                clip_max=self.clip_max, pin_rows=cfg.water_rows)
+            vp, vs = m[0, :, :, 0], m[0, :, :, 1]
+            loss_d = physics_loss(vp, vs, shot_idx)
+            loss = loss_d
+            if cfg.anchor_weight > 0:
+                # low-frequency anchor (AutoElMar22_model.py:312,374)
+                loss = loss + cfg.anchor_weight * jnp.mean(
+                    (m - self.lowf) ** 2) * 1e-6
+            mse = jnp.mean((m - self.true_m) ** 2)
+            return loss, (loss_d, mse)
+
+        @jax.jit
+        def train_step(params, opt_state, shot_idx, rng):
+            (loss, (loss_d, mse)), grads = jax.value_and_grad(
+                total_loss, has_aux=True)(params, shot_idx, rng)
+            if cfg.optimizer == "lbfgs":
+                updates, opt_state = self.opt.update(
+                    grads, opt_state, params, value=loss, grad=grads,
+                    value_fn=lambda p: total_loss(p, shot_idx, rng)[0])
+            else:
+                updates, opt_state = self.opt.update(grads, opt_state,
+                                                     params)
+            params = optax.apply_updates(params, updates)
+            return params, opt_state, loss, loss_d, mse
+
+        self._step_cache[fc] = train_step
+        return train_step
+
+    def optimize_parameters(self, epoch: int, freq: float | None = None):
+        cfg = self.cfg
+        fc = freq if freq is not None else (
+            cfg.freq_stages[0] if cfg.freq_stages else 0.0)
+        nsub = cfg.shots_per_iter or cfg.num_shots
+        self._rng, s1, s2 = jax.random.split(self._rng, 3)
+        # random shot subset per iteration (AutoElMar22_model.py:512)
+        idx = jax.random.permutation(s1, cfg.num_shots)[:nsub]
+        step = self._get_step(fc)
+        self.params, self.opt_state, loss, loss_d, mse = step(
+            self.params, self.opt_state, idx, s2)
+        return {"loss_D_MSE": float(loss_d), "loss_M_MSE": float(mse)}
+
+    def test(self, *, rng=None):
+        det = rng is None
+        rngs = None if det else {"dropout": rng}
+        deltas, _ = self.net.apply(self.params, self.in_vx, self.in_vz,
+                                   deterministic=det, rngs=rngs)
+        m = apply_elastic_output(
+            deltas, self.lowf, self.true_m, delta_scale=self.delta_scale,
+            clip_min=self.clip_min, clip_max=self.clip_max,
+            pin_rows=self.cfg.water_rows)
+        mse = float(jnp.mean((m - self.true_m) ** 2))
+        return {"loss_V_MSE": mse}, np.asarray(m[0])
+
+    def mc_realizations(self, n: int, seed: int = 0):
+        """MC-dropout posterior sampling (test4d.py:69-79
+        --realization loop): returns stacked model samples."""
+        out = []
+        key = jax.random.PRNGKey(seed)
+        for _ in range(n):
+            key, sub = jax.random.split(key)
+            _, m = self.test(rng=sub)
+            out.append(m)
+        return np.stack(out)
+
+
+# ---------------------------------------------------------------------------
+# classic FWI (no net) — AutoEl22N capability
+# ---------------------------------------------------------------------------
+
+class ClassicFWIEngine(EngineBase):
+    """The model grids ARE the parameters (networks.py:6477-6520)."""
+
+    def __init__(self, cfg: ExperimentConfig, workload=None):
+        self.cfg = cfg
+        self.wl = workload or SyntheticAcousticWorkload.build(
+            nz=cfg.nz, nx=cfg.nx, dx=cfg.dx, nt=cfg.nt, dt=cfg.dt,
+            pml_width=cfg.pml_width, freq=cfg.freq,
+            num_shots=cfg.num_shots, num_receivers=cfg.num_receivers,
+            seed=cfg.seed, chunk=cfg.chunk)
+        self.params = {"vp": self.wl.vp_start}
+        self.opt = _make_optimizer(cfg)
+        self.opt_state = self.opt.init(self.params)
+
+        wl = self.wl
+        mis = l1_misfit if cfg.misfit == "l1" else l2_misfit
+
+        def loss_fn(params):
+            pred = simulate_acoustic(params["vp"], wl.wavelet, *wl.geom,
+                                     wl.cfg)
+            return mis(trace_normalize(pred), wl.obs_norm)
+
+        @jax.jit
+        def train_step(params, opt_state):
+            loss, grads = jax.value_and_grad(loss_fn)(params)
+            g = water_mask(grads["vp"], wl.vp_true, cfg.water_vel)
+            g = depth_weighting(g, 2.0)
+            grads = {"vp": g}
+            if cfg.optimizer == "lbfgs":
+                updates, opt_state = self.opt.update(
+                    grads, opt_state, params, value=loss, grad=grads,
+                    value_fn=loss_fn)
+            else:
+                updates, opt_state = self.opt.update(grads, opt_state,
+                                                     params)
+            params = optax.apply_updates(params, updates)
+            params = {"vp": jnp.clip(params["vp"], 1490.0, 4700.0)}
+            return params, opt_state, loss
+
+        self._train_step = train_step
+
+    def optimize_parameters(self, epoch: int):
+        self.params, self.opt_state, loss = self._train_step(
+            self.params, self.opt_state)
+        mse = float(jnp.mean((self.params["vp"] - self.wl.vp_true) ** 2))
+        return {"loss_D_MSE": float(loss), "loss_M_MSE": mse}
+
+    def test(self):
+        mse = float(jnp.mean((self.params["vp"] - self.wl.vp_true) ** 2))
+        return {"loss_V_MSE": mse}, np.asarray(self.params["vp"])
+
+
+# ---------------------------------------------------------------------------
+# latent-space inversion — VaeLatent2NoPhy capability
+# ---------------------------------------------------------------------------
+
+class LatentInversionEngine(EngineBase):
+    """Frozen decoder; optimize the latent through the propagator
+    (VaeLatent2NoPhy_model.py:395-560).  The reference mutates model
+    pixels with an inner Adam(lr=10); TPU-native equivalent optimizes
+    the latent directly through decoder + propagator in one graph."""
+
+    def __init__(self, cfg: ExperimentConfig, workload=None,
+                 decoder_params=None):
+        from physicsbasedfwi2_tpu.models import VaeNet
+        self.cfg = cfg
+        self.wl = workload or SyntheticAcousticWorkload.build(
+            nz=cfg.nz, nx=cfg.nx, dx=cfg.dx, nt=cfg.nt, dt=cfg.dt,
+            pml_width=cfg.pml_width, freq=cfg.freq,
+            num_shots=cfg.num_shots, num_receivers=cfg.num_receivers,
+            seed=cfg.seed, chunk=cfg.chunk)
+        self.net = VaeNet(out_shape=(cfg.nz, cfg.nx),
+                          latent_dim=cfg.latent_dim, filters=cfg.filters)
+        shots_in = jnp.transpose(self.wl.obs, (1, 2, 0))[None]
+        self.shots_in = shots_in
+        full = self.net.init({"params": jax.random.PRNGKey(cfg.seed),
+                              "latent": jax.random.PRNGKey(1)}, shots_in)
+        self.decoder_params = decoder_params or full
+        self.z = jnp.zeros((1, cfg.latent_dim))
+        self.opt = optax.adam(cfg.lr)
+        self.opt_state = self.opt.init(self.z)
+        wl, ccfg = self.wl, cfg
+
+        def loss_fn(z):
+            f01 = self.net.apply(self.decoder_params, z,
+                                 method=self.net.decode)
+            vp = apply_velocity_output(f01, wl.vp_true[None, :, :, None],
+                                       water_vel=ccfg.water_vel)[0, :, :, 0]
+            pred = simulate_acoustic(vp, wl.wavelet, *wl.geom, wl.cfg)
+            mis = l1_misfit if ccfg.misfit == "l1" else l2_misfit
+            return mis(trace_normalize(pred), wl.obs_norm), vp
+
+        @jax.jit
+        def train_step(z, opt_state):
+            (loss, vp), g = jax.value_and_grad(loss_fn, has_aux=True)(z)
+            updates, opt_state = self.opt.update(g, opt_state)
+            return optax.apply_updates(z, updates), opt_state, loss, vp
+
+        self._train_step = train_step
+
+    def optimize_parameters(self, epoch: int):
+        self.z, self.opt_state, loss, vp = self._train_step(
+            self.z, self.opt_state)
+        mse = float(jnp.mean((vp - self.wl.vp_true) ** 2))
+        return {"loss_D_MSE": float(loss), "loss_M_MSE": mse}
+
+    def test(self):
+        f01 = self.net.apply(self.decoder_params, self.z,
+                             method=self.net.decode)
+        vp = apply_velocity_output(f01,
+                                   self.wl.vp_true[None, :, :, None])[0, :, :, 0]
+        mse = float(jnp.mean((vp - self.wl.vp_true) ** 2))
+        return {"loss_V_MSE": mse}, np.asarray(vp)
+
+
+# ---------------------------------------------------------------------------
+# supervised / GAN baseline engine (pix2pix2 / unetSSIMAC capability)
+# ---------------------------------------------------------------------------
+
+class SupervisedEngine(EngineBase):
+    """Image-to-image baselines: L1 (+GAN, +SSIM) supervised training
+    (pix2pix2_model.py:110-126, unetSSIMAC_model.py:109-131,
+    pix2pix2SSIM_model.py:76-81)."""
+
+    def __init__(self, cfg: ExperimentConfig, in_shape=(128, 128),
+                 in_channels=1, out_channels=1):
+        from physicsbasedfwi2_tpu.models import (
+            define_discriminator, gan_loss)
+        from physicsbasedfwi2_tpu.ops.ssim import ssim
+        self.cfg = cfg
+        self.gan_mode = cfg.extras.get("gan_mode", "lsgan")
+        self.lambda_l1 = cfg.extras.get("lambda_l1", 10.0)
+        self.ssim_window = cfg.extras.get("ssim_window", 0)
+        self.net = define_generator(cfg.netG, out_shape=None,
+                                    out_channels=out_channels,
+                                    filters=(16, 32, 64))
+        x = jnp.zeros((1, *in_shape, in_channels))
+        self.params = self.net.init(jax.random.PRNGKey(cfg.seed), x)
+        self.opt = optax.adam(cfg.lr, b1=cfg.beta1)
+        self.opt_state = self.opt.init(self.params)
+        self.use_gan = self.gan_mode != "none"
+        if self.use_gan:
+            self.disc = define_discriminator("n_layers", base=32,
+                                             n_layers=3)
+            xy = jnp.zeros((1, *in_shape, in_channels + out_channels))
+            self.d_params = self.disc.init(jax.random.PRNGKey(1), xy)
+            self.d_opt = optax.adam(cfg.lr, b1=cfg.beta1)
+            self.d_opt_state = self.d_opt.init(self.d_params)
+        self._gan_loss = gan_loss
+        self._ssim = ssim
+        self._build()
+
+    def _build(self):
+        cfg = self.cfg
+
+        def g_loss(params, d_params, a, b):
+            fake, _ = self.net.apply(params, a)
+            loss = self.lambda_l1 * jnp.mean(jnp.abs(fake - b))
+            if self.ssim_window:
+                loss = loss + (1.0 - self._ssim(
+                    fake, b, window_size=self.ssim_window))
+            if self.use_gan:
+                pred = self.disc.apply(d_params,
+                                       jnp.concatenate([a, fake], -1))
+                loss = loss + self._gan_loss(pred, True, self.gan_mode)
+            return loss, fake
+
+        @jax.jit
+        def g_step(params, opt_state, d_params, a, b):
+            (loss, fake), grads = jax.value_and_grad(
+                g_loss, has_aux=True)(params, d_params, a, b)
+            updates, opt_state = self.opt.update(grads, opt_state)
+            return optax.apply_updates(params, updates), opt_state, loss, fake
+
+        self._g_step = g_step
+
+        if self.use_gan:
+            def d_loss(d_params, a, b, fake):
+                pr = self.disc.apply(d_params, jnp.concatenate([a, b], -1))
+                pf = self.disc.apply(d_params,
+                                     jnp.concatenate([a, fake], -1))
+                return 0.5 * (self._gan_loss(pr, True, self.gan_mode)
+                              + self._gan_loss(pf, False, self.gan_mode))
+
+            @jax.jit
+            def d_step(d_params, d_opt_state, a, b, fake):
+                loss, grads = jax.value_and_grad(d_loss)(d_params, a, b,
+                                                         fake)
+                updates, d_opt_state = self.d_opt.update(grads, d_opt_state)
+                return (optax.apply_updates(d_params, updates),
+                        d_opt_state, loss)
+
+            self._d_step = d_step
+
+    def optimize_parameters(self, a, b):
+        d_params = self.d_params if self.use_gan else None
+        self.params, self.opt_state, gl, fake = self._g_step(
+            self.params, self.opt_state, d_params, a, b)
+        out = {"loss_G": float(gl)}
+        if self.use_gan:
+            self.d_params, self.d_opt_state, dl = self._d_step(
+                self.d_params, self.d_opt_state, a, b,
+                jax.lax.stop_gradient(fake))
+            out["loss_D"] = float(dl)
+        return out
+
+    def test(self, a, b):
+        fake, _ = self.net.apply(self.params, a)
+        return {"loss_V_L1": float(jnp.mean(jnp.abs(fake - b)))}, \
+            np.asarray(fake)
+
+
+_ENGINES = {
+    "acoustic_dip": AcousticDIPEngine,
+    "elastic_dip": ElasticDIPEngine,
+    "classic_fwi": ClassicFWIEngine,
+    "latent_inversion": LatentInversionEngine,
+    "supervised": SupervisedEngine,
+}
+
+
+def create_engine(cfg: ExperimentConfig, **kw):
+    """Factory (reference models/__init__.py:54-67 create_model)."""
+    return _ENGINES[cfg.engine](cfg, **kw)

@@ -1,0 +1,129 @@
+"""Training driver.
+
+Capability-equivalent of trainValLatent4dVel2.py (acoustic, lines
+31-149) and trainValLatent4dVel2Elastic.py (elastic + frequency
+continuation, lines 49-160): epoch loop with validation, per-epoch
+aggregated losses, loss-plateau frequency-stage advance, periodic
+checkpointing, wall-clock metrics.
+"""
+
+from __future__ import annotations
+
+import argparse
+import collections
+import json
+import os
+import time
+
+from physicsbasedfwi2_tpu.engine.config import (
+    ExperimentConfig, get_workload, list_workloads,
+)
+from physicsbasedfwi2_tpu.engine.engines import create_engine
+from physicsbasedfwi2_tpu.engine.visualizer import Visualizer
+
+
+class PlateauDetector:
+    """Frequency-continuation plateau detector
+    (trainValLatent4dVel2Elastic.py:136-146): shift-register of the
+    last N losses; advance the stage when the relative change drops
+    below eps."""
+
+    def __init__(self, history: int = 5, eps: float = 5e-10):
+        self.hist = collections.deque(maxlen=history)
+        self.eps = eps
+
+    def update(self, loss: float) -> bool:
+        self.hist.append(loss)
+        if len(self.hist) < self.hist.maxlen:
+            return False
+        lo, hi = min(self.hist), max(self.hist)
+        rel = (hi - lo) / (abs(hi) + 1e-30)
+        if rel <= self.eps:
+            self.hist.clear()
+            return True
+        return False
+
+
+def train(cfg: ExperimentConfig, *, epochs: int | None = None,
+          iters_per_epoch: int = 1, workload=None, quiet: bool = False):
+    """Run the training loop; returns (engine, history)."""
+    engine = create_engine(cfg, workload=workload) if workload is not None \
+        else create_engine(cfg)
+    viz = Visualizer(cfg)
+    epochs = epochs if epochs is not None else cfg.n_epochs
+    stages = list(cfg.freq_stages) or [None]
+    stage_i = 0
+    plateau = PlateauDetector(cfg.plateau_history, cfg.plateau_eps)
+    history = []
+
+    for epoch in range(1, epochs + 1):
+        t0 = time.time()
+        # ---- validation first (reference does val at epoch top) ----
+        val_losses, model_img = engine.test()
+        # ---- training iterations ----
+        agg = collections.defaultdict(float)
+        for _ in range(iters_per_epoch):
+            if stages[stage_i] is not None:
+                losses = engine.optimize_parameters(
+                    epoch, freq=stages[stage_i])
+            else:
+                losses = engine.optimize_parameters(epoch)
+            for k, v in losses.items():
+                agg[k] += v / iters_per_epoch
+        # ---- frequency continuation ----
+        key = "loss_D_MSE" if "loss_D_MSE" in agg else next(iter(agg))
+        if stages[stage_i] is not None and plateau.update(agg[key]):
+            if stage_i + 1 < len(stages):
+                stage_i += 1
+                if not quiet:
+                    print(f"[freq-continuation] advancing to stage "
+                          f"{stages[stage_i]} Hz at epoch {epoch}")
+        rec = {"epoch": epoch, **agg, **val_losses,
+               "freq_stage": stages[stage_i],
+               "epoch_time": time.time() - t0}
+        history.append(rec)
+        viz.log_epoch(rec, model_img=model_img)
+        if epoch % cfg.save_epoch_freq == 0 or epoch == epochs:
+            engine.save_networks(epoch)
+            engine.save_networks("latest")
+    return engine, history
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description="TPU-native FWI training")
+    p.add_argument("--workload", default="marmousi_acoustic",
+                   choices=list_workloads())
+    p.add_argument("--name", default=None)
+    p.add_argument("--epochs", type=int, default=None)
+    p.add_argument("--iters-per-epoch", type=int, default=1)
+    p.add_argument("--lr", type=float, default=None)
+    p.add_argument("--optimizer", default=None)
+    p.add_argument("--netG", default=None)
+    p.add_argument("--lstart", type=int, default=None)
+    p.add_argument("--seed", type=int, default=None)
+    p.add_argument("--save-dir", default=None)
+    p.add_argument("--small", action="store_true",
+                   help="shrink the workload for smoke testing")
+    args = p.parse_args(argv)
+
+    overrides = {}
+    for k in ("lr", "optimizer", "netG", "lstart", "seed"):
+        v = getattr(args, k)
+        if v is not None:
+            overrides[k] = v
+    if args.save_dir:
+        overrides["save_dir"] = args.save_dir
+    cfg = get_workload(args.workload, **overrides)
+    if args.name:
+        cfg = cfg.replace(name=args.name)
+    if args.small:
+        cfg = cfg.replace(nz=48, nx=64, nt=300, num_shots=4,
+                          num_receivers=32, filters=(4, 8, 16),
+                          chunk=25, water_rows=6)
+    _, history = train(cfg, epochs=args.epochs,
+                       iters_per_epoch=args.iters_per_epoch)
+    print(json.dumps(history[-1]))
+
+
+if __name__ == "__main__":
+    main()

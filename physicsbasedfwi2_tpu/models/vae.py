@@ -21,7 +21,10 @@ from physicsbasedfwi2_tpu.models.autoencoders import Decoder2D, Encoder2D
 
 
 class VaeNet(nn.Module):
-    """VAE generator. Returns (field01, mu, logvar, z)."""
+    """VAE generator. Returns (field01, mu, logvar, z).
+
+    setup()-style so the decoder is shared between ``__call__`` and
+    the ``decode`` method (frozen-decoder latent inversion)."""
 
     out_shape: tuple[int, int]
     out_channels: int = 1
@@ -30,12 +33,15 @@ class VaeNet(nn.Module):
     time_decimation: int = 4
     norm: str = "group"
 
-    @nn.compact
+    def setup(self):
+        self.encoder = Encoder2D(2 * self.latent_dim, self.filters,
+                                 self.time_decimation, self.norm)
+        self.decoder = Decoder2D(self.out_shape, self.out_channels,
+                                 self.filters, norm=self.norm)
+
     def __call__(self, shots, *, deterministic: bool = True,
                  rng_key=None):
-        h = Encoder2D(2 * self.latent_dim, self.filters,
-                      self.time_decimation, self.norm)(
-            shots, deterministic=deterministic)
+        h = self.encoder(shots, deterministic=deterministic)
         mu, logvar = jnp.split(h, 2, axis=-1)
         if deterministic:
             z = mu
@@ -44,15 +50,13 @@ class VaeNet(nn.Module):
                 rng_key = self.make_rng("latent")
             std = jnp.exp(0.5 * logvar)
             z = mu + std * jax.random.normal(rng_key, mu.shape)
-        out = Decoder2D(self.out_shape, self.out_channels, self.filters,
-                        norm=self.norm)(z, deterministic=deterministic)
+        out = self.decoder(z, deterministic=deterministic)
         return out, mu, logvar, z
 
     def decode(self, z, *, deterministic: bool = True):
         """Decoder-only application (for frozen-decoder latent
         inversion)."""
-        return Decoder2D(self.out_shape, self.out_channels, self.filters,
-                         norm=self.norm)(z, deterministic=deterministic)
+        return self.decoder(z, deterministic=deterministic)
 
 
 class ModelVae(nn.Module):

@@ -26,6 +26,31 @@ from physicsbasedfwi2_tpu.ops.gradproc import (
 )
 from physicsbasedfwi2_tpu.ops.ssim import ssim
 
+
+def acoustic_pallas(*args, **kw):
+    """Differentiable Pallas TPU fast path (lazy import; TPU only).
+
+    ~4x faster than the XLA scan path on a v5e chip: the whole time
+    loop runs in VMEM (see ops/pallas_kernels.py, ops/pallas_adjoint.py).
+    Same contract as :func:`simulate_acoustic`; gradient w.r.t. vp.
+    Requires each shot's receivers to share one grid row.
+    """
+    from physicsbasedfwi2_tpu.ops.pallas_adjoint import (
+        acoustic_pallas as _impl)
+    return _impl(*args, **kw)
+
+
+def select_acoustic(backend: str = "auto"):
+    """Pick the propagator implementation: 'pallas' | 'xla' | 'auto'
+    (pallas on TPU, xla elsewhere)."""
+    import jax
+    if backend == "xla":
+        return simulate_acoustic
+    if backend == "pallas":
+        return acoustic_pallas
+    return (acoustic_pallas if jax.devices()[0].platform == "tpu"
+            else simulate_acoustic)
+
 __all__ = [
     "simulate_acoustic",
     "acoustic_gradient",
@@ -43,4 +68,6 @@ __all__ = [
     "taper_top",
     "rescale_to_model",
     "ssim",
+    "acoustic_pallas",
+    "select_acoustic",
 ]

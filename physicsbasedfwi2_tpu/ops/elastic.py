@@ -67,12 +67,21 @@ def _staggered_medium(vp, vs, rho):
     b = 1.0 / rho
     bx = 0.5 * (b + jnp.roll(b, -1, axis=1))
     bz = 0.5 * (b + jnp.roll(b, -1, axis=0))
-    # mu at sxz (i+1/2, j+1/2): harmonic mean of 4 neighbors
+    # mu at sxz (i+1/2, j+1/2): harmonic mean of 4 neighbors.
+    # Fluid cells (mu = 0, e.g. the water layer) make the plain
+    # 1/(mu+eps) form overflow in the *gradient* (d(1/mu)/dmu ~ 1/mu^2)
+    # — use the double-where pattern so both value and grad are 0
+    # whenever any neighbor is fluid (physically: free slip).
     def roll2(m):
         return jnp.roll(jnp.roll(m, -1, 0), -1, 1)
-    inv = (1.0 / (mu + 1e-20) + 1.0 / (jnp.roll(mu, -1, 0) + 1e-20)
-           + 1.0 / (jnp.roll(mu, -1, 1) + 1e-20) + 1.0 / (roll2(mu) + 1e-20))
-    mu_xz = 4.0 / inv
+    m1, m2, m3 = mu, jnp.roll(mu, -1, 0), jnp.roll(mu, -1, 1)
+    m4 = roll2(mu)
+    mn = jnp.minimum(jnp.minimum(m1, m2), jnp.minimum(m3, m4))
+    solid = mn > 1e-3
+    safe = [jnp.where(solid, m, 1.0) for m in (m1, m2, m3, m4)]
+    mu_h = 4.0 / (1.0 / safe[0] + 1.0 / safe[1]
+                  + 1.0 / safe[2] + 1.0 / safe[3])
+    mu_xz = jnp.where(solid, mu_h, 0.0)
     return lam, mu, mu_xz, bx, bz
 
 
@@ -85,7 +94,9 @@ def _single_shot(med, damps, free_surface, wavelet, src_z, src_x,
     nz, nx = lam.shape
     zeros = jnp.zeros((nz, nx), jnp.float32)
     lam2mu = lam + 2.0 * mu
-    src_gain = dt * inv_dx * inv_dx
+    # moment-source scaling by the P-modulus at the source (keeps
+    # amplitudes O(1), mirroring the acoustic kappa scaling)
+    src_gain = dt * inv_dx * inv_dx * lam2mu[src_z, src_x]
 
     def step(carry, amp_t):
         (vxx, vxz, vzx, vzz, sxxx, sxxz, szzx, szzz, sxzx, sxzz) = carry
