@@ -16,6 +16,7 @@ from typing import Any
 from physicsbasedfwi2_tpu.models.autoencoders import (
     AutoEncoderNet,
     ElasticAutoEncoderNet,
+    FlowAutoEncoderNet,
     ModelParamNet,
     apply_velocity_output,
     apply_elastic_output,
@@ -89,7 +90,7 @@ for _n in ["VaeNoPhy", "Vaevel"]:
     register_generator(_n, ModelVae)
 
 # --- flows / FNO / GAN generators ---
-register_generator("AutoNF", AutoEncoderNet)  # + LatentFlow head (engine)
+register_generator("AutoNF", FlowAutoEncoderNet)
 register_generator("FNO", FNO2d)
 register_generator("resnet_9blocks", ResnetGenerator, n_blocks=9)
 register_generator("resnet_6blocks", ResnetGenerator, n_blocks=6)
@@ -109,6 +110,7 @@ __all__ = [
     "define_discriminator",
     "register_generator",
     "AutoEncoderNet",
+    "FlowAutoEncoderNet",
     "ElasticAutoEncoderNet",
     "ModelParamNet",
     "apply_velocity_output",

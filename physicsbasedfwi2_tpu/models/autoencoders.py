@@ -192,3 +192,30 @@ def apply_elastic_output(deltas, lowf, true_model, *, delta_scale,
         row = jnp.arange(m.shape[1])[None, :, None, None]
         m = jnp.where(row < pin_rows, true_model, m)
     return m
+
+
+class FlowAutoEncoderNet(nn.Module):
+    """Autoencoder with an invertible GLOW-coupling head on the latent
+    (the AutoMarmousiNF capability, networks.py:13316-13624: FrEIA
+    InputNode/GLOWCouplingBlock/ReversibleGraphNet over the latent).
+
+    Returns (field01, z_flow, logdet)."""
+
+    out_shape: tuple[int, int]
+    out_channels: int = 1
+    latent_dim: int = 8
+    filters: Sequence[int] = (16, 32, 64, 128)
+    time_decimation: int = 4
+    n_flow_blocks: int = 4
+    norm: str = "group"
+
+    @nn.compact
+    def __call__(self, shots, *, deterministic: bool = True,
+                 reverse: bool = False):
+        from physicsbasedfwi2_tpu.models.flows import LatentFlow
+        z = Encoder2D(self.latent_dim, self.filters, self.time_decimation,
+                      self.norm)(shots, deterministic=deterministic)
+        z, logdet = LatentFlow(self.n_flow_blocks)(z, reverse=reverse)
+        out = Decoder2D(self.out_shape, self.out_channels, self.filters,
+                        norm=self.norm)(z, deterministic=deterministic)
+        return out, z, logdet

@@ -137,3 +137,13 @@ def test_orbax_full_state_checkpoint():
     v1, _ = eng.test()
     v2, _ = eng2.test()
     assert abs(v1["loss_V_MSE"] - v2["loss_V_MSE"]) < 1e-3
+
+
+def test_cyclegan_engine():
+    from physicsbasedfwi2_tpu.engine.cyclegan import CycleGanEngine
+    eng = CycleGanEngine(in_shape=(32, 32), base=8, n_blocks=2)
+    a = jnp.zeros((1, 32, 32, 1))
+    b = jnp.ones((1, 32, 32, 1)) * 0.3
+    r = eng.optimize_parameters(a, b)
+    assert np.isfinite(r["loss_G"]) and np.isfinite(r["loss_D"])
+    assert eng.translate(a).shape == (1, 32, 32, 1)

@@ -1,0 +1,60 @@
+"""Loss-landscape side-car: surfaces, Hessian eigs, trajectory PCA."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from physicsbasedfwi2_tpu.landscape import (
+    filter_normalized_direction, perturb_params, loss_surface_2d,
+    hvp, lanczos_extreme_eigs, trajectory_pca,
+)
+
+
+def quad_loss(A):
+    def loss(p):
+        x = p["w"].ravel()
+        return 0.5 * x @ A @ x
+    return loss
+
+
+def test_filter_normalized_direction_norms():
+    params = {"conv": jnp.ones((3, 3, 2, 4)), "b": jnp.ones((4,))}
+    d = filter_normalized_direction(params, jax.random.PRNGKey(0))
+    # per-output-filter norms of d match those of w
+    w, dv = np.asarray(params["conv"]), np.asarray(d["conv"])
+    for c in range(4):
+        np.testing.assert_allclose(
+            np.linalg.norm(dv[..., c]), np.linalg.norm(w[..., c]),
+            rtol=1e-5)
+
+
+def test_loss_surface_quadratic_min_at_center():
+    A = jnp.eye(4) * jnp.asarray([1.0, 2.0, 3.0, 4.0])
+    loss = quad_loss(A)
+    params = {"w": jnp.zeros((2, 2))}  # the minimum
+    surf, d1, d2 = loss_surface_2d(
+        loss, params, xs=np.linspace(-1, 1, 5), ys=np.linspace(-1, 1, 5),
+        norm="layer", batch=5)
+    assert surf.shape == (5, 5)
+    assert surf[2, 2] <= surf.min() + 1e-6  # center is the min
+
+
+def test_hvp_and_lanczos_quadratic():
+    diag = jnp.asarray([0.5, 1.0, 2.0, 10.0])
+    A = jnp.diag(diag)
+    loss = quad_loss(A)
+    params = {"w": jnp.ones((2, 2))}
+    v = {"w": jnp.asarray([[1.0, 0.0], [0.0, 0.0]])}
+    h = hvp(loss, params, v)
+    np.testing.assert_allclose(np.asarray(h["w"]).ravel(),
+                               [0.5, 0, 0, 0], atol=1e-6)
+    lo, hi, ritz = lanczos_extreme_eigs(loss, params, steps=8)
+    assert abs(hi - 10.0) < 1e-3
+    assert abs(lo - 0.5) < 1e-3
+
+
+def test_trajectory_pca():
+    traj = [{"w": jnp.asarray([float(i), 0.0, 0.0])} for i in range(5)]
+    coords, explained, comps = trajectory_pca(traj)
+    assert coords.shape == (5, 2)
+    assert explained[0] > 0.99  # 1D trajectory
