@@ -55,30 +55,39 @@ def build():
 
 def run(backend: str):
     cfg, wav, geom, vp_true, vp0 = build()
-    sim = select_acoustic(backend)
+    if backend == "pallas":
+        from physicsbasedfwi2_tpu.ops.pallas_scalar2 import acoustic_pallas2
+        sim = lambda v, *a: acoustic_pallas2(v, *a)
+    else:
+        sim = select_acoustic(backend)
 
     obs_norm = trace_normalize(sim(vp_true, wav, *geom, cfg))
     direct = sim(jnp.full_like(vp_true, 1500.0), wav, *geom, cfg)
-    jax.block_until_ready((obs_norm, direct))
+
+    def loss_fn(v):
+        pred = sim(v, wav, *geom, cfg) - direct
+        m = jnp.max(jnp.abs(pred), axis=1, keepdims=True)
+        return jnp.mean(jnp.abs(pred / (m + 1e-10) - obs_norm))
 
     @jax.jit
-    def fwi_iteration(vp):
-        def loss_fn(v):
-            pred = sim(v, wav, *geom, cfg) - direct
-            m = jnp.max(jnp.abs(pred), axis=1, keepdims=True)
-            return jnp.mean(jnp.abs(pred / (m + 1e-10) - obs_norm))
+    def chain(vp, n):
+        # n chained FWI iterations (gradient-descent update links them
+        # so the device executes them back-to-back; a single scalar
+        # materialization at the end avoids per-call host round-trips)
+        def body(i, carry):
+            vp, acc = carry
+            loss, grad = jax.value_and_grad(loss_fn)(vp)
+            return (vp - 1e-6 * grad, acc + loss)
 
-        return jax.value_and_grad(loss_fn)(vp)
+        _, acc = jax.lax.fori_loop(0, n, body, (vp, 0.0))
+        return acc
 
-    loss, grad = fwi_iteration(vp0)  # compile
-    jax.block_until_ready((loss, grad))
-    assert bool(jnp.isfinite(grad).all())
-
+    acc = float(chain(vp0, 2))  # compile + warm
+    assert jnp.isfinite(acc)
     n_iter = 10
     t0 = time.perf_counter()
-    for _ in range(n_iter):
-        loss, grad = fwi_iteration(vp0)
-    jax.block_until_ready((loss, grad))
+    total = float(chain(vp0, n_iter))
+    assert jnp.isfinite(total)
     return (time.perf_counter() - t0) / n_iter
 
 

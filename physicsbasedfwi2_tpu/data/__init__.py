@@ -7,6 +7,7 @@ from physicsbasedfwi2_tpu.data.npy_datasets import (
 from physicsbasedfwi2_tpu.data.synthetic import (
     make_layered_model, make_marmousi_like, make_elastic_model,
     SyntheticAcousticWorkload, SyntheticElasticWorkload,
+    acoustic_workload_from_disk,
 )
 
 __all__ = [
@@ -18,4 +19,5 @@ __all__ = [
     "make_elastic_model",
     "SyntheticAcousticWorkload",
     "SyntheticElasticWorkload",
+    "acoustic_workload_from_disk",
 ]

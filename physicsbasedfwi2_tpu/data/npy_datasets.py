@@ -82,16 +82,29 @@ class NpyDictDataset:
         return out
 
     def batches(self, batch_size: int, *, shuffle: bool = True,
-                seed: int = 0, drop_last: bool = False) -> Iterator[dict]:
-        """Yield stacked batches {letter: [B, ...]}."""
+                seed: int = 0, drop_last: bool = False,
+                flip: bool = False) -> Iterator[dict]:
+        """Yield stacked batches {letter: [B, ...]}.
+
+        ``flip=True`` randomly mirrors the lateral axis of every
+        letter jointly (the *Flip dataset twins' augmentation,
+        e.g. unaligned2Flip_dataset.py)."""
         idx = np.arange(self.n)
+        rng = np.random.default_rng(seed)
         if shuffle:
-            np.random.default_rng(seed).shuffle(idx)
+            rng.shuffle(idx)
         for s in range(0, self.n, batch_size):
             sel = idx[s : s + batch_size]
             if drop_last and len(sel) < batch_size:
                 return
             items = [self[int(i)] for i in sel]
+            if flip:
+                for it in items:
+                    if rng.random() < 0.5:
+                        for L in self.letters:
+                            if L in it:
+                                it[L] = np.ascontiguousarray(
+                                    it[L][..., ::-1])
             batch = {}
             for L in self.letters:
                 if L in items[0]:

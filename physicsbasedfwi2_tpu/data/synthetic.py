@@ -196,6 +196,37 @@ class SyntheticElasticWorkload:
                       self.acq.rcv_z, self.acq.rcv_x))
 
 
+def acoustic_workload_from_disk(dataroot: str, *, nz, nx, dx, nt, dt,
+                                pml_width=20, freq=8.0, num_shots=None,
+                                num_receivers=None, chunk=64,
+                                phase: str = "train"):
+    """Build an acoustic workload from the reference's on-disk npy
+    contract (trainA = gathers [ns, nt, nr], trainB = true model,
+    trainC = low-frequency start model) so datasets prepared for the
+    reference train unchanged here."""
+    from physicsbasedfwi2_tpu.data.npy_datasets import NpyDictDataset
+    ds = NpyDictDataset(dataroot, "unalignedVelABCD2", phase=phase)
+    item = ds[0]
+    obs = jnp.asarray(item["A"])
+    vp_true = jnp.asarray(item["B"]).reshape(nz, nx)
+    vp_start = jnp.asarray(item.get("C", item["B"])).reshape(nz, nx)
+    ns, nt_d, nr = obs.shape
+    if num_shots is None:
+        num_shots = ns
+    if num_receivers is None:
+        num_receivers = nr
+    assert nt_d == nt, f"data nt {nt_d} != config nt {nt}"
+    grid = Grid2D(nz=nz, nx=nx, dx=dx, nt=nt, dt=dt,
+                  pml_width=pml_width)
+    cfg = AcousticConfig(grid=grid, chunk=chunk, vmax_pml=5000.0)
+    wav = ricker(freq, nt, dt)
+    acq = surface_line(num_shots, num_receivers, nx, src_depth=0,
+                       rcv_depth=0)
+    return SyntheticAcousticWorkload(
+        grid=grid, cfg=cfg, acq=acq, wavelet=wav, vp_true=vp_true,
+        vp_start=vp_start, obs=obs, obs_norm=trace_normalize(obs))
+
+
 def write_npy_tree(root: str, workload: SyntheticAcousticWorkload,
                    *, phase: str = "train"):
     """Materialize the reference's on-disk contract

@@ -93,10 +93,22 @@ class EngineBase:
 
 class AcousticDIPEngine(EngineBase):
     """Generator-reparameterized acoustic FWI (reference call stack
-    SURVEY.md §3.1)."""
+    SURVEY.md §3.1).
 
-    def __init__(self, cfg: ExperimentConfig, workload=None):
+    Pass ``mesh`` (jax.sharding.Mesh with a "shot" axis) to shard the
+    physics gradient across devices — the multi-chip path replacing
+    the reference's Ray per-shot GPU fan-out."""
+
+    def __init__(self, cfg: ExperimentConfig, workload=None, mesh=None):
         self.cfg = cfg
+        self.mesh = mesh
+        if workload is None and cfg.dataroot:
+            from physicsbasedfwi2_tpu.data.synthetic import (
+                acoustic_workload_from_disk)
+            workload = acoustic_workload_from_disk(
+                cfg.dataroot, nz=cfg.nz, nx=cfg.nx, dx=cfg.dx,
+                nt=cfg.nt, dt=cfg.dt, pml_width=cfg.pml_width,
+                freq=cfg.freq, chunk=cfg.chunk)
         self.wl = workload or SyntheticAcousticWorkload.build(
             nz=cfg.nz, nx=cfg.nx, dx=cfg.dx, nt=cfg.nt, dt=cfg.dt,
             pml_width=cfg.pml_width, freq=cfg.freq,
@@ -130,17 +142,32 @@ class AcousticDIPEngine(EngineBase):
         """custom_vjp wrapper reproducing the reference's processed
         VJP (networks.py:5491-5493 + Auto22_model.py:300): dJ/dvp is
         depth^2-weighted, water-masked and scaled before injection
-        into the generator's autodiff."""
+        into the generator's autodiff.  With a mesh, the (loss, grad)
+        pair comes from the shot-sharded shard_map path."""
         cfg = self.cfg
         raw = self._physics_loss_raw
         true_model = self.wl.vp_true
+        mesh = self.mesh
+        wl = self.wl
+
+        def value_and_grad_physics(vp):
+            if mesh is None:
+                return jax.value_and_grad(raw)(vp)
+            from physicsbasedfwi2_tpu.parallel import (
+                shot_sharded_acoustic_gradient, pad_shots_to_multiple)
+            nd = mesh.shape["shot"]
+            (sz, sx, rz, rx, obs), mask = pad_shots_to_multiple(
+                [*wl.geom, wl.obs_norm], nd)
+            return shot_sharded_acoustic_gradient(
+                mesh, vp, obs, wl.wavelet, sz, sx, rz, rx, wl.cfg,
+                misfit=cfg.misfit, shot_mask=mask)
 
         @jax.custom_vjp
         def physics_loss(vp):
             return raw(vp)
 
         def fwd(vp):
-            loss, grad = jax.value_and_grad(raw)(vp)
+            loss, grad = value_and_grad_physics(vp)
             grad = depth_weighting(grad, 2.0)
             grad = water_mask(grad, true_model, cfg.water_vel)
             return loss, grad * cfg.grad_scale

@@ -9,6 +9,7 @@ from physicsbasedfwi2_tpu.parallel.shard import (
     shot_sharded_elastic_gradient,
     pad_shots_to_multiple,
 )
+from physicsbasedfwi2_tpu.parallel.halo import simulate_acoustic_dd
 
 __all__ = [
     "make_mesh",
@@ -16,4 +17,5 @@ __all__ = [
     "shot_sharded_acoustic_gradient",
     "shot_sharded_elastic_gradient",
     "pad_shots_to_multiple",
+    "simulate_acoustic_dd",
 ]

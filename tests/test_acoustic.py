@@ -132,3 +132,19 @@ def test_trace_normalize():
     y = np.asarray(trace_normalize(x))
     np.testing.assert_allclose(np.abs(y).max(axis=1), np.ones((1, 2)),
                                rtol=1e-5)
+
+
+def test_impedance_synthetic_pipeline():
+    from physicsbasedfwi2_tpu.ops.impedance import (
+        impedance, reflectivity, impedance_synthetic, impedance_misfit)
+    vp = jnp.full((50, 8), 2000.0, jnp.float32).at[25:, :].set(3000.0)
+    zp = impedance(vp)
+    r = np.asarray(reflectivity(zp, axis=0))
+    # single interface -> single nonzero reflectivity row
+    assert np.count_nonzero(np.abs(r[:, 0]) > 1e-6) == 1
+    assert abs(r[24, 0]) > 0.1
+    syn = np.asarray(impedance_synthetic(vp, axis=0))
+    assert syn.shape == vp.shape
+    assert np.abs(syn[20:30]).max() > 10 * np.abs(syn[:10]).max()
+    assert float(impedance_misfit(vp, vp)) < 1e-8
+    assert float(impedance_misfit(vp, vp.at[25:, :].set(2800.0))) > 0

@@ -74,3 +74,19 @@ def test_native_loader(npy_tree):
 def test_native_lib_builds():
     # the environment has g++, so the native path must actually build
     assert native_available()
+
+
+def test_flip_augmentation(npy_tree):
+    ds = create_dataset(npy_tree, "unalignedVelABCD2")
+    b_plain = next(ds.batches(3, shuffle=False))
+    flipped_any = False
+    for seed in range(5):
+        b_f = next(ds.batches(3, shuffle=False, flip=True, seed=seed))
+        if not np.allclose(b_f["B"], b_plain["B"]):
+            flipped_any = True
+            # flipped entries mirror the lateral axis
+            for i in range(3):
+                ok = (np.allclose(b_f["B"][i], b_plain["B"][i]) or
+                      np.allclose(b_f["B"][i], b_plain["B"][i][..., ::-1]))
+                assert ok
+    assert flipped_any

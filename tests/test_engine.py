@@ -147,3 +147,22 @@ def test_cyclegan_engine():
     r = eng.optimize_parameters(a, b)
     assert np.isfinite(r["loss_G"]) and np.isfinite(r["loss_D"])
     assert eng.translate(a).shape == (1, 32, 32, 1)
+
+
+def test_engine_from_dataroot(tmp_path):
+    """An npy tree written in the reference's contract trains the
+    engine directly (the 'switch from the reference' path)."""
+    from physicsbasedfwi2_tpu.data import SyntheticAcousticWorkload
+    from physicsbasedfwi2_tpu.data.synthetic import write_npy_tree
+    wl = SyntheticAcousticWorkload.build(
+        nz=40, nx=48, nt=400, dt=0.001, num_shots=4, num_receivers=24,
+        water_rows=6, chunk=25, pml_width=12)
+    write_npy_tree(str(tmp_path), wl)
+    cfg = get_workload("marmousi_acoustic", **SMALL_AC).replace(
+        name="t_dr", save_dir="/tmp/fwi_test_ck",
+        dataroot=str(tmp_path))
+    eng = create_engine(cfg)
+    np.testing.assert_allclose(np.asarray(eng.wl.obs), np.asarray(wl.obs),
+                               rtol=1e-6)
+    r = eng.optimize_parameters(1)
+    assert np.isfinite(r["loss_D"])

@@ -100,3 +100,42 @@ def test_sharded_elastic_matches_single_device():
         np.testing.assert_allclose(np.asarray(grads_s[k]),
                                    np.asarray(grads_r[k]) / 1.0,
                                    rtol=1e-3, atol=1e-12)
+
+
+def test_engine_with_mesh_trains():
+    """AcousticDIPEngine with a shot-sharded physics gradient on the
+    8-device virtual mesh behaves like the single-device engine."""
+    from physicsbasedfwi2_tpu.engine import get_workload
+    from physicsbasedfwi2_tpu.engine.engines import AcousticDIPEngine
+    cfg = get_workload(
+        "marmousi_acoustic", nz=40, nx=48, nt=300, dt=0.001, num_shots=8,
+        num_receivers=24, filters=(4, 8, 16), chunk=25, water_rows=6,
+        pml_width=12).replace(name="t_mesh", save_dir="/tmp/fwi_test_ck",
+                              misfit="l2")
+    mesh = make_mesh()
+    eng = AcousticDIPEngine(cfg, mesh=mesh)
+    losses = [eng.optimize_parameters(e)["loss_D"] for e in range(1, 5)]
+    assert all(np.isfinite(losses))
+    assert losses[-1] < losses[0]
+
+
+def test_domain_decomposed_matches_single_device():
+    """Halo-exchange propagation over the 8-device mesh == the
+    single-chip result (DENISE's NPROCX role, SURVEY §2.2)."""
+    from physicsbasedfwi2_tpu.parallel.halo import simulate_acoustic_dd
+    grid = Grid2D(nz=32, nx=88, dx=10.0, nt=160, dt=0.002, pml_width=16)
+    cfg = AcousticConfig(grid=grid, chunk=20, vmax_pml=2500.0)
+    wav = ricker(10.0, grid.nt, grid.dt)
+    src_z = jnp.array([4, 4], jnp.int32)
+    src_x = jnp.array([20, 60], jnp.int32)
+    rcv_z = jnp.full((2, 10), 3, jnp.int32)
+    rcv_x = jnp.tile(jnp.arange(10, dtype=jnp.int32) * 8 + 4, (2, 1))
+    vp = jnp.full((32, 88), 1800.0, jnp.float32).at[16:, :].set(2200.0)
+    ref = np.asarray(simulate_acoustic(vp, wav, src_z, src_x, rcv_z,
+                                       rcv_x, cfg))
+    mesh = make_mesh()
+    dd = np.asarray(simulate_acoustic_dd(vp, wav, src_z, src_x, rcv_z,
+                                         rcv_x, cfg, mesh))
+    assert dd.shape == ref.shape
+    rel = np.abs(dd - ref).max() / (np.abs(ref).max() + 1e-20)
+    assert rel < 1e-4, rel
