@@ -1,0 +1,99 @@
+"""Loss-surface CLI — the reference's plot_surface2.py role.
+
+    python -m physicsbasedfwi2_tpu.landscape.cli \
+        --workload marmousi_acoustic --small --x=-1:1:11 --y=-1:1:11
+
+Loads (or initializes) the workload's engine, sweeps the physics
+data-misfit over two filter-normalized directions, writes the surface
+as .npz and a contour PNG, and reports extreme Hessian eigenvalues —
+replacing mpirun + h5py + vtp export with one jit-batched sweep.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+
+import numpy as np
+
+
+def _parse_range(s: str):
+    lo, hi, n = s.split(":")
+    return np.linspace(float(lo), float(hi), int(n))
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--workload", default="marmousi_acoustic")
+    p.add_argument("--name", default="landscape")
+    p.add_argument("--epoch", default=None,
+                   help="checkpoint tag to load (default: fresh init)")
+    p.add_argument("--x", default="-1:1:11")
+    p.add_argument("--y", default="-1:1:11")
+    p.add_argument("--norm", default="filter", choices=["filter", "layer"])
+    p.add_argument("--hessian", action="store_true",
+                   help="also estimate extreme Hessian eigenvalues")
+    p.add_argument("--out", default="./results/landscape")
+    p.add_argument("--save-dir", default="./checkpoints")
+    p.add_argument("--small", action="store_true")
+    args = p.parse_args(argv)
+
+    import jax.numpy as jnp
+    from physicsbasedfwi2_tpu.engine import get_workload, create_engine
+    from physicsbasedfwi2_tpu.landscape import (
+        loss_surface_2d, lanczos_extreme_eigs)
+    from physicsbasedfwi2_tpu.models import apply_velocity_output
+    from physicsbasedfwi2_tpu.ops import simulate_acoustic, trace_normalize
+
+    cfg = get_workload(args.workload).replace(save_dir=args.save_dir)
+    if args.small:
+        cfg = cfg.replace(nz=48, nx=64, nt=300, num_shots=4,
+                          num_receivers=32, filters=(4, 8, 16),
+                          chunk=25, water_rows=6)
+    eng = create_engine(cfg)
+    if args.epoch:
+        eng.load_networks(args.epoch)
+
+    wl = eng.wl
+
+    def physics_loss(params):
+        f01, _, _ = eng._apply_net(params)
+        vp = apply_velocity_output(f01, eng.true_b,
+                                   water_vel=cfg.water_vel)[0, :, :, 0]
+        pred = simulate_acoustic(vp, wl.wavelet, *wl.geom, wl.cfg)
+        return jnp.mean((trace_normalize(pred) - wl.obs_norm) ** 2)
+
+    xs, ys = _parse_range(args.x), _parse_range(args.y)
+    surf, d1, d2 = loss_surface_2d(physics_loss, eng.params,
+                                   xs=xs, ys=ys, norm=args.norm)
+    os.makedirs(args.out, exist_ok=True)
+    np.savez(os.path.join(args.out, f"{args.name}_surface.npz"),
+             losses=surf, xs=xs, ys=ys)
+    try:
+        import matplotlib
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+        fig, ax = plt.subplots(figsize=(5, 4))
+        cs = ax.contourf(xs, ys, np.log10(surf + 1e-20), levels=20)
+        fig.colorbar(cs, ax=ax, label="log10 loss")
+        ax.set_xlabel("d1")
+        ax.set_ylabel("d2")
+        fig.tight_layout()
+        fig.savefig(os.path.join(args.out, f"{args.name}_surface.png"),
+                    dpi=110)
+    except Exception:
+        pass
+
+    result = {"min": float(surf.min()), "max": float(surf.max()),
+              "center": float(surf[len(ys) // 2, len(xs) // 2])}
+    if args.hessian:
+        lo, hi, _ = lanczos_extreme_eigs(physics_loss, eng.params,
+                                         steps=10)
+        result["eig_min"] = lo
+        result["eig_max"] = hi
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -75,3 +75,38 @@ def test_pallas_multi_shot():
     assert a.shape == b.shape == (4, cfg.grid.nt, 20)
     rel = np.abs(a - b).max() / np.abs(a).max()
     assert rel < 5e-3, rel
+
+
+def test_scalar2_gradient_fd():
+    """Second-order-form fast path: FD directional gradient check."""
+    from physicsbasedfwi2_tpu.ops.pallas_scalar2 import acoustic_pallas2
+    cfg, wav, vp, geom = setup()
+    vpt = vp.at[20:30, 25:45].add(200.0)
+    obs = acoustic_pallas2(vpt, wav, *geom, cfg)
+
+    def loss_p(v):
+        return jnp.mean((acoustic_pallas2(v, wav, *geom, cfg) - obs) ** 2)
+
+    gp = np.asarray(jax.grad(loss_p)(vp), np.float64)
+    rng = np.random.default_rng(0)
+    d = rng.standard_normal(vp.shape)
+    for ax in (0, 1):
+        d = 0.25 * (np.roll(d, 1, ax) + np.roll(d, -1, ax)) + 0.5 * d
+    d /= np.abs(d).max()
+    dj = jnp.asarray(d, jnp.float32)
+    fd = (float(loss_p(vp + 2 * dj)) - float(loss_p(vp - 2 * dj))) / 4.0
+    ad = float(np.vdot(gp, d))
+    assert abs(fd - ad) / max(abs(fd), 1e-30) < 1e-3
+
+
+def test_scalar2b_matches_scalar2():
+    """Shot-batched variant: identical recs and gradients."""
+    from physicsbasedfwi2_tpu.ops.pallas_scalar2 import acoustic_pallas2
+    from physicsbasedfwi2_tpu.ops.pallas_scalar2b import acoustic_pallas2b
+    cfg, wav, vp, _ = setup()
+    acq = surface_line(3, 20, 64, src_depth=2, rcv_depth=2)
+    geom = tuple(jnp.asarray(a) for a in
+                 (acq.src_z, acq.src_x, acq.rcv_z, acq.rcv_x))
+    a = np.asarray(acoustic_pallas2(vp, wav, *geom, cfg))
+    b = np.asarray(acoustic_pallas2b(vp, wav, *geom, cfg))
+    np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-7)
