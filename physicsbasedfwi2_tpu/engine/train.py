@@ -45,18 +45,36 @@ class PlateauDetector:
 
 
 def train(cfg: ExperimentConfig, *, epochs: int | None = None,
-          iters_per_epoch: int = 1, workload=None, quiet: bool = False):
-    """Run the training loop; returns (engine, history)."""
+          iters_per_epoch: int = 1, workload=None, quiet: bool = False,
+          continue_from: str | int | None = None, start_epoch: int = 1,
+          profile_dir: str | None = None, profile_epochs: int = 0):
+    """Run the training loop; returns (engine, history).
+
+    continue_from: checkpoint tag to resume weights from
+        (the reference's --continue_train --epoch N,
+        base_options.py:53-54).
+    profile_dir: capture a jax.profiler trace of the first
+        ``profile_epochs`` epochs (the reference only had wall-clock
+        prints; this is the TPU-native upgrade, SURVEY §5 tracing).
+    """
     engine = create_engine(cfg, workload=workload) if workload is not None \
         else create_engine(cfg)
+    if continue_from is not None:
+        engine.load_networks(continue_from)
+        if not quiet:
+            print(f"resumed weights from checkpoint {continue_from!r}")
     viz = Visualizer(cfg)
+    viz.dump_config(cfg)
     epochs = epochs if epochs is not None else cfg.n_epochs
     stages = list(cfg.freq_stages) or [None]
     stage_i = 0
     plateau = PlateauDetector(cfg.plateau_history, cfg.plateau_eps)
     history = []
+    if profile_dir and profile_epochs > 0:
+        import jax
+        jax.profiler.start_trace(profile_dir)
 
-    for epoch in range(1, epochs + 1):
+    for epoch in range(start_epoch, epochs + 1):
         t0 = time.time()
         # ---- validation first (reference does val at epoch top) ----
         val_losses, model_img = engine.test()
@@ -83,6 +101,11 @@ def train(cfg: ExperimentConfig, *, epochs: int | None = None,
                "epoch_time": time.time() - t0}
         history.append(rec)
         viz.log_epoch(rec, model_img=model_img)
+        if profile_dir and epoch - start_epoch + 1 == profile_epochs:
+            import jax
+            jax.profiler.stop_trace()
+            if not quiet:
+                print(f"profiler trace written to {profile_dir}")
         if epoch % cfg.save_epoch_freq == 0 or epoch == epochs:
             engine.save_networks(epoch)
             engine.save_networks("latest")
@@ -104,6 +127,12 @@ def main(argv=None):
     p.add_argument("--save-dir", default=None)
     p.add_argument("--small", action="store_true",
                    help="shrink the workload for smoke testing")
+    p.add_argument("--continue-train", action="store_true",
+                   help="resume from --epoch-tag (default latest)")
+    p.add_argument("--epoch-tag", default="latest")
+    p.add_argument("--start-epoch", type=int, default=1)
+    p.add_argument("--profile-dir", default=None)
+    p.add_argument("--profile-epochs", type=int, default=2)
     args = p.parse_args(argv)
 
     overrides = {}
@@ -120,8 +149,11 @@ def main(argv=None):
         cfg = cfg.replace(nz=48, nx=64, nt=300, num_shots=4,
                           num_receivers=32, filters=(4, 8, 16),
                           chunk=25, water_rows=6)
-    _, history = train(cfg, epochs=args.epochs,
-                       iters_per_epoch=args.iters_per_epoch)
+    _, history = train(
+        cfg, epochs=args.epochs, iters_per_epoch=args.iters_per_epoch,
+        continue_from=args.epoch_tag if args.continue_train else None,
+        start_epoch=args.start_epoch, profile_dir=args.profile_dir,
+        profile_epochs=args.profile_epochs if args.profile_dir else 0)
     print(json.dumps(history[-1]))
 
 

@@ -27,6 +27,16 @@ class Visualizer:
             f.write(f"================ Training Loss ({cfg.name}) "
                     f"================\n")
 
+    def dump_config(self, cfg):
+        """Options dump (the reference's train_opt.txt,
+        base_options.py:95-118)."""
+        import dataclasses
+        with open(os.path.join(self.dir, "train_opt.txt"), "w") as f:
+            f.write("----------------- Options ---------------\n")
+            for k, v in sorted(dataclasses.asdict(cfg).items()):
+                f.write(f"{k}: {v}\n")
+            f.write("----------------- End -------------------\n")
+
     def log_epoch(self, record: dict, *, model_img: np.ndarray | None = None):
         msg = " ".join(
             f"{k}: {v:.6g}" if isinstance(v, (int, float)) and v is not None

@@ -281,7 +281,7 @@ def forward2(vp, wavelet, src_z, src_x, rcv_z, rcv_x,
 
 
 def forward2_ckpt(vp, wavelet, src_z, src_x, rcv_z, rcv_x,
-                  cfg: AcousticConfig, *, KC: int = 16):
+                  cfg: AcousticConfig, *, KC: int = 32):
     """Forward that also returns the checkpoint buffer for the
     backward pass."""
     g = cfg.grid
@@ -325,7 +325,7 @@ def _backward2(vp, wavelet, src_z, src_x, rcv_z, rcv_x, cfg, ybar_rows,
                ckpt):
     g = cfg.grid
     ns = int(src_z.shape[0])
-    KC = 16
+    KC = 32
     n_ck = -(-g.nt // KC)
     nt_pad = n_ck * KC
     (K2d, dp, dm, nz8, nx128, wav, src_z_p, src_x_p,
@@ -401,7 +401,7 @@ def _bwd(cfg, res, ybar):
     vp, wavelet, src_z, src_x, rcv_z, rcv_x, ckpt = res
     g = cfg.grid
     ns = int(src_z.shape[0])
-    KC = 16
+    KC = 32
     nt_pad = -(-g.nt // KC) * KC
     nx128 = _round_up(g.nx + 2 * g.pml_width, 128)
     cols = (rcv_x + g.pml_width).astype(jnp.int32)

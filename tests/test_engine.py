@@ -166,3 +166,30 @@ def test_engine_from_dataroot(tmp_path):
                                rtol=1e-6)
     r = eng.optimize_parameters(1)
     assert np.isfinite(r["loss_D"])
+
+
+def test_continue_train_and_opt_dump(tmp_path):
+    cfg = get_workload("marmousi_acoustic", **SMALL_AC).replace(
+        name="t_res", save_dir=str(tmp_path), save_epoch_freq=2)
+    eng, h1 = train(cfg, epochs=2, quiet=True)
+    v1, _ = eng.test()
+    # resume from latest
+    eng2, h2 = train(cfg, epochs=3, quiet=True,
+                     continue_from="latest", start_epoch=3)
+    assert h2[0]["epoch"] == 3
+    assert os.path.exists(os.path.join(str(tmp_path), "t_res",
+                                       "train_opt.txt"))
+    txt = open(os.path.join(str(tmp_path), "t_res",
+                            "train_opt.txt")).read()
+    assert "netG: Auto22" in txt
+
+
+def test_diagnostics():
+    from physicsbasedfwi2_tpu.utils import diagnose_params, is_legal, grad_norms
+    tree = {"a": jnp.ones((3,)), "b": {"c": jnp.zeros((2, 2))}}
+    assert is_legal(tree)
+    assert not is_legal({"a": jnp.asarray([jnp.nan])})
+    s = diagnose_params(tree)
+    assert "finite=True" in s
+    n = grad_norms(tree)
+    assert any("a" in k for k in n)
