@@ -201,8 +201,17 @@ def _bwd_kernel(src_z, src_x, rcv_row, wav_sm, K_ref, dp_ref, dm_ref,
         gh.wait()
 
         def rec_body(kk, _):
-            lap_buf[pl.ds(kk, 1), :, :] = _lap(u0[:])[None]
-            fstep(t0 + kk)
+            # one Laplacian serves both the cache and the recompute
+            # step (fstep would compute the identical _lap(u0) again)
+            t = t0 + kk
+            lapv = _lap(u0[:])
+            lap_buf[pl.ds(kk, 1), :, :] = lapv[None]
+            u1 = dp * (2.0 * u0[:] - dm * um1[:] + K * lapv)
+            um1[:] = u0[:]
+            u0[:] = u1
+            amp = wav_sm[shot, t]
+            u0[pl.ds(sz, 1), :] = (u0[pl.ds(sz, 1), :]
+                                   + amp * src_gain * src_onehot)
             return 0
 
         jax.lax.fori_loop(0, KC, rec_body, 0)
