@@ -8,6 +8,7 @@ from physicsbasedfwi2_tpu.data.synthetic import (
     make_layered_model, make_marmousi_like, make_elastic_model,
     SyntheticAcousticWorkload, SyntheticElasticWorkload,
     acoustic_workload_from_disk,
+    elastic_workload_from_disk,
 )
 
 __all__ = [
@@ -20,4 +21,5 @@ __all__ = [
     "SyntheticAcousticWorkload",
     "SyntheticElasticWorkload",
     "acoustic_workload_from_disk",
+    "elastic_workload_from_disk",
 ]

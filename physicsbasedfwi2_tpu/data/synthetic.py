@@ -227,6 +227,44 @@ def acoustic_workload_from_disk(dataroot: str, *, nz, nx, dx, nt, dt,
         vp_start=vp_start, obs=obs, obs_norm=trace_normalize(obs))
 
 
+def elastic_workload_from_disk(dataroot: str, *, nz, nx, dx, nt, dt,
+                               pml_width=20, freq=10.0,
+                               free_surface=True, chunk=64,
+                               num_shots=None, num_receivers=None,
+                               water_rows=26, phase: str = "train"):
+    """Elastic workload from the unalignedVelABCDEl contract
+    (A = vx gathers, B = [Vp;Vs;Rho]/100, C = low-freq triple /100,
+    D = vz gathers — the /100 storage units are undone by the dataset
+    mode's scale, data/unalignedVelABCDEl_dataset.py:84-87)."""
+    from physicsbasedfwi2_tpu.data.npy_datasets import NpyDictDataset
+    ds = NpyDictDataset(dataroot, "unalignedVelABCDEl", phase=phase)
+    item = ds[0]
+    ovx = jnp.asarray(item["A"])
+    ovz = jnp.asarray(item["D"])
+    b = jnp.asarray(item["B"]).reshape(3, nz, nx)
+    c = jnp.asarray(item["C"]).reshape(3, nz, nx)
+    ns, nt_d, nr = ovx.shape
+    assert nt_d == nt, f"data nt {nt_d} != config nt {nt}"
+    grid = Grid2D(nz=nz, nx=nx, dx=dx, nt=nt, dt=dt,
+                  pml_width=pml_width, free_surface=free_surface)
+    cfg = ElasticConfig(grid=grid, chunk=chunk, vmax_pml=5000.0)
+    wav = ricker(freq, nt, dt)
+    num_shots = num_shots or ns
+    num_receivers = num_receivers or nr
+    src_x = np.round(np.linspace(2, nx - 3, num_shots)).astype(np.int32)
+    src_z = np.full(num_shots, min(water_rows + 1, nz - 2), np.int32)
+    rx = np.round(np.linspace(1, nx - 2, num_receivers)).astype(np.int32)
+    acq = Acquisition(src_z, src_x,
+                      np.full((num_shots, num_receivers),
+                              min(water_rows + 1, nz - 2), np.int32),
+                      np.tile(rx, (num_shots, 1)))
+    return SyntheticElasticWorkload(
+        grid=grid, cfg=cfg, acq=acq, wavelet=wav,
+        true={"vp": b[0], "vs": b[1], "rho": b[2]},
+        start={"vp": c[0], "vs": c[1], "rho": c[2]},
+        obs_vx=ovx, obs_vz=ovz)
+
+
 def write_npy_tree(root: str, workload: SyntheticAcousticWorkload,
                    *, phase: str = "train"):
     """Materialize the reference's on-disk contract
@@ -237,3 +275,19 @@ def write_npy_tree(root: str, workload: SyntheticAcousticWorkload,
         d = os.path.join(root, phase + letter)
         os.makedirs(d, exist_ok=True)
         np.save(os.path.join(d, "0.npy"), np.asarray(arr))
+
+
+def write_elastic_npy_tree(root: str, wl: SyntheticElasticWorkload,
+                           *, phase: str = "train"):
+    """Materialize the elastic contract (stored /100, bottom-up order
+    NOT applied — row 0 = surface as the loaders expect)."""
+    import os
+    b = np.stack([np.asarray(wl.true["vp"]), np.asarray(wl.true["vs"]),
+                  np.asarray(wl.true["rho"])]) / 100.0
+    c = np.stack([np.asarray(wl.start["vp"]), np.asarray(wl.start["vs"]),
+                  np.asarray(wl.start["rho"])]) / 100.0
+    for letter, arr in (("A", np.asarray(wl.obs_vx)), ("B", b),
+                        ("C", c), ("D", np.asarray(wl.obs_vz))):
+        d = os.path.join(root, phase + letter)
+        os.makedirs(d, exist_ok=True)
+        np.save(os.path.join(d, "0.npy"), arr)

@@ -261,6 +261,14 @@ class ElasticDIPEngine(EngineBase):
 
     def __init__(self, cfg: ExperimentConfig, workload=None):
         self.cfg = cfg
+        if workload is None and cfg.dataroot:
+            from physicsbasedfwi2_tpu.data.synthetic import (
+                elastic_workload_from_disk)
+            workload = elastic_workload_from_disk(
+                cfg.dataroot, nz=cfg.nz, nx=cfg.nx, dx=cfg.dx,
+                nt=cfg.nt, dt=cfg.dt, pml_width=cfg.pml_width,
+                freq=cfg.freq, free_surface=cfg.free_surface,
+                chunk=cfg.chunk, water_rows=cfg.water_rows)
         self.wl = workload or SyntheticElasticWorkload.build(
             nz=cfg.nz, nx=cfg.nx, dx=cfg.dx, nt=cfg.nt, dt=cfg.dt,
             pml_width=cfg.pml_width, freq=cfg.freq,

@@ -193,3 +193,22 @@ def test_diagnostics():
     assert "finite=True" in s
     n = grad_norms(tree)
     assert any("a" in k for k in n)
+
+
+def test_elastic_engine_from_dataroot(tmp_path):
+    from physicsbasedfwi2_tpu.data import SyntheticElasticWorkload
+    from physicsbasedfwi2_tpu.data.synthetic import write_elastic_npy_tree
+    wl = SyntheticElasticWorkload.build(
+        nz=36, nx=48, nt=160, dt=0.0015, num_shots=4, num_receivers=20,
+        water_rows=4, chunk=25, pml_width=12)
+    write_elastic_npy_tree(str(tmp_path), wl)
+    cfg = get_workload("marmousi_elastic", **SMALL_EL).replace(
+        name="t_eldr", save_dir="/tmp/fwi_test_ck",
+        dataroot=str(tmp_path))
+    eng = create_engine(cfg)
+    np.testing.assert_allclose(np.asarray(eng.wl.obs_vx),
+                               np.asarray(wl.obs_vx), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(eng.wl.true["vp"]),
+                               np.asarray(wl.true["vp"]), rtol=1e-4)
+    r = eng.optimize_parameters(1, freq=12.0)
+    assert np.isfinite(r["loss_D_MSE"])
