@@ -55,19 +55,40 @@ def build():
 
 def run(backend: str):
     cfg, wav, geom, vp_true, vp0 = build()
+
     if backend == "pallas":
+        # fully-fused kernel: forward + in-kernel trace-normalized L1
+        # misfit (incl. direct-wave removal) + adjoint, one Pallas
+        # program per shot (ops/pallas_fwi_fused.py)
         from physicsbasedfwi2_tpu.ops.pallas_scalar2 import acoustic_pallas2
-        sim = lambda v, *a: acoustic_pallas2(v, *a)
+        from physicsbasedfwi2_tpu.ops.pallas_fwi_fused import (
+            fwi_l1_loss_grad, scatter_rows)
+        obs = acoustic_pallas2(vp_true, wav, *geom, cfg)
+        obs_norm = trace_normalize(obs)
+        direct = acoustic_pallas2(jnp.full_like(vp_true, 1500.0), wav,
+                                  *geom, cfg)
+        obs_rows = scatter_rows(obs_norm, geom[3], nt=cfg.grid.nt,
+                                nx=cfg.grid.nx,
+                                pml_width=cfg.grid.pml_width)
+        dir_rows = scatter_rows(direct, geom[3], nt=cfg.grid.nt,
+                                nx=cfg.grid.nx,
+                                pml_width=cfg.grid.pml_width)
+
+        def value_and_grad_fn(v):
+            return fwi_l1_loss_grad(v, wav, *geom, cfg, obs_rows,
+                                    dir_rows)
     else:
         sim = select_acoustic(backend)
+        obs_norm = trace_normalize(sim(vp_true, wav, *geom, cfg))
+        direct = sim(jnp.full_like(vp_true, 1500.0), wav, *geom, cfg)
 
-    obs_norm = trace_normalize(sim(vp_true, wav, *geom, cfg))
-    direct = sim(jnp.full_like(vp_true, 1500.0), wav, *geom, cfg)
+        def loss_fn(v):
+            pred = sim(v, wav, *geom, cfg) - direct
+            m = jnp.max(jnp.abs(pred), axis=1, keepdims=True)
+            return jnp.mean(jnp.abs(pred / (m + 1e-10) - obs_norm))
 
-    def loss_fn(v):
-        pred = sim(v, wav, *geom, cfg) - direct
-        m = jnp.max(jnp.abs(pred), axis=1, keepdims=True)
-        return jnp.mean(jnp.abs(pred / (m + 1e-10) - obs_norm))
+        def value_and_grad_fn(v):
+            return jax.value_and_grad(loss_fn)(v)
 
     @jax.jit
     def chain(vp, n):
@@ -76,7 +97,7 @@ def run(backend: str):
         # materialization at the end avoids per-call host round-trips)
         def body(i, carry):
             vp, acc = carry
-            loss, grad = jax.value_and_grad(loss_fn)(vp)
+            loss, grad = value_and_grad_fn(vp)
             return (vp - 1e-6 * grad, acc + loss)
 
         _, acc = jax.lax.fori_loop(0, n, body, (vp, 0.0))

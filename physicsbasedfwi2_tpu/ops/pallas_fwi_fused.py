@@ -1,0 +1,327 @@
+"""Fully-fused FWI loss+gradient kernel (fastest acoustic path).
+
+One Pallas program per shot computes, without leaving the chip:
+
+1. forward sweep (second-order scheme, as pallas_scalar2) with
+   checkpoints every KC steps and the direct-wave-subtracted receiver
+   row history kept in VMEM,
+2. the reference's misfit in-kernel — per-trace max normalization of
+   the predicted rows, L1 against pre-normalized observed rows
+   (networks.py:5418-5476 pipeline) — including the exact VJP of the
+   per-trace max (tie-distributed subgradient, matching jnp.max),
+3. the reverse (adjoint) sweep consuming those cotangent rows straight
+   from VMEM, accumulating dJ/dK.
+
+vs the custom_vjp path this removes the separate primal forward and
+all HBM history traffic: ~3.3 field passes per iteration instead of
+~4.4.  The misfit phase runs in 4 chunked sweeps over the VMEM
+history (max; tie stats; loss+S; cotangent write) so no [nt, nx]
+temporaries materialize.
+
+Misfit (per shot): with y = pred - direct on the receiver row (masked
+to receiver columns), m_c = max_t |y_tc|:
+    loss = inv_count * sum_{t,c} |y_tc/(m_c+eps) - obs_tc| * mask_c
+VJP through yn = y/(m+eps):
+    g    = sign(yn - obs) * mask * inv_count
+    ybar = g/(m+eps) - star/(m+eps) * ssign * S,
+    star = 1[|y| == m]/cnt,  ssign = mean sign at ties,
+    S    = sum_t g yn.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from physicsbasedfwi2_tpu.ops.acoustic import AcousticConfig
+from physicsbasedfwi2_tpu.ops.pallas_kernels import _round_up
+from physicsbasedfwi2_tpu.ops.pallas_scalar2 import _prepare2, _lap
+
+EPS = 1e-10
+
+
+def _kernel(src_z, src_x, rcv_row, wav_sm, rcv_x_sm,
+            K_ref, dp_ref, dm_ref, obs_hbm, dir_hbm,
+            loss_out, gk_out, ckpt_hbm,
+            u0, um1, pb, qb, gk, lap_buf, hist, chunk_io, sem,
+            *, nt: int, n_ck: int, KC: int, nxp: int, nr: int,
+            inv_count: float):
+    shot = pl.program_id(0)
+    sz = src_z[shot]
+    sx = src_x[shot]
+    rrow = rcv_row[shot]
+    K = K_ref[:]
+    dp = dp_ref[:]
+    dm = dm_ref[:]
+    col = jax.lax.broadcasted_iota(jnp.int32, (1, nxp), 1)
+    src_onehot = (col == sx).astype(jnp.float32)
+    src_gain = jnp.sum(K_ref[pl.ds(sz, 1), :] * src_onehot)
+
+    # receiver-column mask (static unroll over the receiver list)
+    rmask = jnp.zeros((1, nxp), jnp.float32)
+    for r in range(nr):
+        rmask = rmask + (col == rcv_x_sm[shot, r]).astype(jnp.float32)
+    rmask = jnp.minimum(rmask, 1.0)
+
+    onehot00 = ((jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0) == 0)
+                & (jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1) == 0)
+                ).astype(jnp.float32)
+
+    @pl.when(shot == 0)
+    def _():
+        loss_out[:] = jnp.zeros_like(loss_out)
+        gk_out[:] = jnp.zeros_like(gk_out)
+
+    for r_ in (u0, um1, pb, qb, gk):
+        r_[:] = jnp.zeros_like(r_)
+    hist[:] = jnp.zeros_like(hist)
+
+    # ---- phase 1: forward sweep; hist rows = (pred - direct) ----
+    def fwd_chunk(c, _):
+        t0 = c * KC
+        for f_i, r_ in enumerate((u0, um1)):
+            cp = pltpu.make_async_copy(r_, ckpt_hbm.at[shot, c, f_i],
+                                       sem)
+            cp.start()
+            cp.wait()
+        dmv = pltpu.make_async_copy(
+            dir_hbm.at[shot, pl.ds(t0, KC), :], chunk_io, sem)
+        dmv.start()
+        dmv.wait()
+
+        def step(kk, _):
+            t = t0 + kk
+            lapv = _lap(u0[:])
+            u1 = dp * (2.0 * u0[:] - dm * um1[:] + K * lapv)
+            um1[:] = u0[:]
+            u0[:] = u1
+            amp = wav_sm[shot, t]
+            u0[pl.ds(sz, 1), :] = (u0[pl.ds(sz, 1), :]
+                                   + amp * src_gain * src_onehot)
+
+            @pl.when(t < nt)
+            def _():
+                hist[pl.ds(t, 1), :] = (u0[pl.ds(rrow, 1), :]
+                                        - chunk_io[pl.ds(kk, 1), :])
+            return 0
+
+        jax.lax.fori_loop(0, KC, step, 0)
+        return 0
+
+    jax.lax.fori_loop(0, n_ck, fwd_chunk, 0)
+
+    # ---- phase 2: misfit + cotangent rows (4 chunked sweeps) ----
+    def max_sweep(c, m):
+        yk = hist[pl.ds(c * KC, KC), :]
+        return jnp.maximum(m, jnp.max(jnp.abs(yk), axis=0,
+                                      keepdims=True))
+
+    m = jax.lax.fori_loop(0, n_ck, max_sweep,
+                          jnp.zeros((1, nxp), jnp.float32))
+    inv_m = 1.0 / (m + EPS)
+
+    def tie_sweep(c, carry):
+        cnt, ssign = carry
+        yk = hist[pl.ds(c * KC, KC), :]
+        eq = (jnp.abs(yk) == m).astype(jnp.float32)
+        return (cnt + jnp.sum(eq, axis=0, keepdims=True),
+                ssign + jnp.sum(jnp.sign(yk) * eq, axis=0,
+                                keepdims=True))
+
+    cnt, ssign = jax.lax.fori_loop(
+        0, n_ck, tie_sweep,
+        (jnp.zeros((1, nxp), jnp.float32),
+         jnp.zeros((1, nxp), jnp.float32)))
+    inv_cnt = 1.0 / jnp.maximum(cnt, 1.0)
+
+    def loss_sweep(c, carry):
+        loss_acc, S = carry
+        t0 = c * KC
+        ob = pltpu.make_async_copy(
+            obs_hbm.at[shot, pl.ds(t0, KC), :], chunk_io, sem)
+        ob.start()
+        ob.wait()
+        yn = hist[pl.ds(t0, KC), :] * inv_m
+        r = (yn - chunk_io[:]) * rmask
+        g = jnp.sign(r) * inv_count
+        loss_acc = loss_acc + jnp.sum(jnp.abs(r))
+        S = S + jnp.sum(g * yn, axis=0, keepdims=True)
+        return (loss_acc, S)
+
+    loss_raw, S = jax.lax.fori_loop(
+        0, n_ck, loss_sweep,
+        (0.0, jnp.zeros((1, nxp), jnp.float32)))
+    corr = ssign * inv_cnt * S * inv_m  # [1, nxp]
+
+    def ybar_sweep(c, _):
+        t0 = c * KC
+        ob = pltpu.make_async_copy(
+            obs_hbm.at[shot, pl.ds(t0, KC), :], chunk_io, sem)
+        ob.start()
+        ob.wait()
+        yk = hist[pl.ds(t0, KC), :]
+        yn = yk * inv_m
+        g = jnp.sign((yn - chunk_io[:]) * rmask) * inv_count
+        star = (jnp.abs(yk) == m).astype(jnp.float32)
+        hist[pl.ds(t0, KC), :] = g * inv_m - star * corr
+        return 0
+
+    jax.lax.fori_loop(0, n_ck, ybar_sweep, 0)
+    loss_out[:] = loss_out[:] + (loss_raw * inv_count) * onehot00
+
+    # ---- phase 3: reverse sweep from the checkpoints ----
+    def bwd_chunk(ci, _):
+        c = n_ck - 1 - ci
+        t0 = c * KC
+        for f_i, r_ in enumerate((u0, um1)):
+            cp = pltpu.make_async_copy(ckpt_hbm.at[shot, c, f_i], r_,
+                                       sem)
+            cp.start()
+            cp.wait()
+
+        def rec(kk, _):
+            t = t0 + kk
+            lapv = _lap(u0[:])
+            lap_buf[pl.ds(kk, 1), :, :] = lapv[None]
+            u1 = dp * (2.0 * u0[:] - dm * um1[:] + K * lapv)
+            um1[:] = u0[:]
+            u0[:] = u1
+            amp = wav_sm[shot, t]
+            u0[pl.ds(sz, 1), :] = (u0[pl.ds(sz, 1), :]
+                                   + amp * src_gain * src_onehot)
+            return 0
+
+        jax.lax.fori_loop(0, KC, rec, 0)
+
+        def adj(kk_r, _):
+            kk = KC - 1 - kk_r
+            t = t0 + kk
+
+            @pl.when(t < nt)
+            def _():
+                pb[pl.ds(rrow, 1), :] = (pb[pl.ds(rrow, 1), :]
+                                         + hist[pl.ds(t, 1), :])
+            w = dp * pb[:]
+            amp = wav_sm[shot, t]
+            gk[pl.ds(sz, 1), :] = (gk[pl.ds(sz, 1), :]
+                                   + amp * pb[pl.ds(sz, 1), :]
+                                   * src_onehot)
+            gk[:] = gk[:] + w * lap_buf[pl.ds(kk, 1)][0]
+            ub0 = qb[:] + 2.0 * w + _lap(K * w)
+            ubm1 = -(dm * w)
+            pb[:] = ub0
+            qb[:] = ubm1
+            return 0
+
+        jax.lax.fori_loop(0, KC, adj, 0)
+        return 0
+
+    jax.lax.fori_loop(0, n_ck, bwd_chunk, 0)
+    gk_out[:] = gk_out[:] + gk[:]
+
+
+def fwi_l1_loss_grad(vp, wavelet, src_z, src_x, rcv_z, rcv_x,
+                     cfg: AcousticConfig, obs_rows, dir_rows,
+                     *, KC: int = 16):
+    """(loss, dJ/dvp) for the reference's trace-normalized L1 misfit
+    with direct-wave removal, computed by the fused kernel.
+
+    Args:
+        obs_rows: [ns, nt_pad, nx128] trace-normalized observed data
+            scattered into receiver-row columns (see
+            :func:`scatter_rows`).
+        dir_rows: [ns, nt_pad, nx128] direct-wave (constant-model)
+            prediction rows, same layout (use
+            :func:`direct_rows_from_recs` or raw row histories).
+    """
+    g = cfg.grid
+    ns = int(src_z.shape[0])
+    nr = int(rcv_x.shape[1])
+    n_ck = -(-g.nt // KC)
+    nt_pad = n_ck * KC
+    K2d, dp, dm, (nz8, nx128) = _prepare2(vp, cfg)
+    top, w = g.top_pad, g.pml_width
+    if wavelet.ndim == 1:
+        wavelet = jnp.broadcast_to(wavelet[None, :], (ns, g.nt))
+    wav = jnp.pad(wavelet.astype(jnp.float32),
+                  ((0, 0), (0, nt_pad - g.nt)))
+    src_z_p = (src_z + top).astype(jnp.int32)
+    src_x_p = (src_x + w).astype(jnp.int32)
+    rcv_row = (rcv_z[:, 0] + top).astype(jnp.int32)
+    rcv_cols = (rcv_x + w).astype(jnp.int32)
+    inv_count = 1.0 / float(ns * g.nt * nr)
+
+    kern = functools.partial(_kernel, nt=g.nt, n_ck=n_ck, KC=KC,
+                             nxp=nx128, nr=nr, inv_count=inv_count)
+    spec = pl.BlockSpec((nz8, nx128), lambda i, *_: (0, 0),
+                        memory_space=pltpu.VMEM)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=5,
+        grid=(ns,),
+        in_specs=[spec, spec, spec,
+                  pl.BlockSpec(memory_space=pltpu.ANY),   # obs rows
+                  pl.BlockSpec(memory_space=pltpu.ANY)],  # direct rows
+        out_specs=(
+            pl.BlockSpec((8, 128), lambda i, *_: (0, 0),
+                         memory_space=pltpu.VMEM),        # loss
+            spec,                                          # gk
+            pl.BlockSpec(memory_space=pltpu.ANY),          # ckpt
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((nz8, nx128), jnp.float32),  # u0
+            pltpu.VMEM((nz8, nx128), jnp.float32),  # um1
+            pltpu.VMEM((nz8, nx128), jnp.float32),  # pb
+            pltpu.VMEM((nz8, nx128), jnp.float32),  # qb
+            pltpu.VMEM((nz8, nx128), jnp.float32),  # gk
+            pltpu.VMEM((KC, nz8, nx128), jnp.float32),  # lap cache
+            pltpu.VMEM((nt_pad, nx128), jnp.float32),   # hist/ybar
+            pltpu.VMEM((KC, nx128), jnp.float32),       # chunk io
+            pltpu.SemaphoreType.DMA(()),
+        ],
+    )
+    loss_blk, gk, _ = pl.pallas_call(
+        kern, grid_spec=grid_spec,
+        out_shape=(
+            jax.ShapeDtypeStruct((8, 128), jnp.float32),
+            jax.ShapeDtypeStruct((nz8, nx128), jnp.float32),
+            jax.ShapeDtypeStruct((ns, n_ck, 2, nz8, nx128), jnp.float32),
+        ),
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+    )(src_z_p, src_x_p, rcv_row, wav, rcv_cols,
+      K2d, dp, dm, obs_rows, dir_rows)
+
+    loss = loss_blk[0, 0]
+    # chain rule K=(vp dt/dx)^2 and edge-pad transpose
+    vp_pad = jnp.pad(vp.astype(jnp.float32), ((top, w), (w, w)),
+                     mode="edge")
+    nzp, nxp_r = vp_pad.shape
+    gz = gk[:nzp, :nxp_r] * (2.0 * vp_pad * (g.dt / g.dx) ** 2)
+    row_top = jnp.sum(gz[:top, :], axis=0) if top else 0.0
+    row_bot = jnp.sum(gz[top + g.nz :, :], axis=0)
+    gz = gz[top : top + g.nz, :]
+    gz = gz.at[0, :].add(row_top)
+    gz = gz.at[-1, :].add(row_bot)
+    col_l = jnp.sum(gz[:, :w], axis=1)
+    col_r = jnp.sum(gz[:, w + g.nx :], axis=1)
+    gz = gz[:, w : w + g.nx]
+    gz = gz.at[:, 0].add(col_l)
+    gz = gz.at[:, -1].add(col_r)
+    return loss, gz
+
+
+def scatter_rows(data, rcv_x, *, nt, nx, pml_width, KC: int = 16):
+    """[ns, nt, nr] traces -> [ns, nt_pad, nx128] receiver-row
+    layout used by the fused kernel."""
+    ns = data.shape[0]
+    nt_pad = -(-nt // KC) * KC
+    nx128 = _round_up(nx + 2 * pml_width, 128)
+    cols = (rcv_x + pml_width).astype(jnp.int32)
+    rows = jnp.zeros((ns, nt_pad, nx128), jnp.float32)
+    si = jnp.arange(ns)[:, None, None]
+    ti = jnp.arange(nt)[None, :, None]
+    return rows.at[si, ti, cols[:, None, :]].add(data)

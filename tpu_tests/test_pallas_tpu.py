@@ -110,3 +110,36 @@ def test_scalar2b_matches_scalar2():
     a = np.asarray(acoustic_pallas2(vp, wav, *geom, cfg))
     b = np.asarray(acoustic_pallas2b(vp, wav, *geom, cfg))
     np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-7)
+
+
+def test_fused_loss_grad_matches_custom_vjp():
+    """The fused kernel's loss and gradient equal the scalar2
+    custom_vjp path on the reference misfit pipeline."""
+    from physicsbasedfwi2_tpu.ops.pallas_scalar2 import acoustic_pallas2
+    from physicsbasedfwi2_tpu.ops.pallas_fwi_fused import (
+        fwi_l1_loss_grad, scatter_rows)
+    cfg, wav, vp, _ = setup()
+    acq = surface_line(3, 30, 64, src_depth=0, rcv_depth=0)
+    geom = tuple(jnp.asarray(a) for a in
+                 (acq.src_z, acq.src_x, acq.rcv_z, acq.rcv_x))
+    vpt = vp.at[20:30, 25:45].add(200.0)
+    obs = acoustic_pallas2(vpt, wav, *geom, cfg)
+    m0 = jnp.max(jnp.abs(obs), axis=1, keepdims=True)
+    obs_n = obs / (m0 + 1e-10)
+    direct = acoustic_pallas2(jnp.full_like(vp, 1700.0), wav, *geom, cfg)
+
+    def ref_loss(v):
+        pred = acoustic_pallas2(v, wav, *geom, cfg) - direct
+        mm = jnp.max(jnp.abs(pred), axis=1, keepdims=True)
+        return jnp.mean(jnp.abs(pred / (mm + 1e-10) - obs_n))
+
+    lr, gr = jax.value_and_grad(ref_loss)(vp)
+    g = cfg.grid
+    obs_rows = scatter_rows(obs_n, geom[3], nt=g.nt, nx=g.nx,
+                            pml_width=g.pml_width)
+    dir_rows = scatter_rows(direct, geom[3], nt=g.nt, nx=g.nx,
+                            pml_width=g.pml_width)
+    lf, gf = fwi_l1_loss_grad(vp, wav, *geom, cfg, obs_rows, dir_rows)
+    assert abs(float(lr - lf)) / abs(float(lr)) < 1e-5
+    gr, gf = np.asarray(gr, np.float64), np.asarray(gf, np.float64)
+    assert np.abs(gr - gf).max() / np.abs(gr).max() < 1e-5
