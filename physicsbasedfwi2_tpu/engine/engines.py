@@ -150,7 +150,27 @@ class AcousticDIPEngine(EngineBase):
         mesh = self.mesh
         wl = self.wl
 
+        import numpy as _np
+        rcv_z_np = _np.asarray(wl.geom[2])
+        single_row = bool((rcv_z_np == rcv_z_np[:, :1]).all())
+        use_fused = (cfg.backend in ("pallas", "auto")
+                     and cfg.misfit == "l1" and mesh is None
+                     and single_row
+                     and jax.devices()[0].platform == "tpu")
+        if use_fused:
+            # fused Pallas loss+grad kernel (fastest path); no
+            # direct-wave term in this engine -> zero dir_rows
+            from physicsbasedfwi2_tpu.ops.pallas_fwi_fused import (
+                fwi_l1_loss_grad, scatter_rows)
+            g = wl.cfg.grid
+            obs_rows = scatter_rows(wl.obs_norm, wl.geom[3], nt=g.nt,
+                                    nx=g.nx, pml_width=g.pml_width)
+            dir_rows = jnp.zeros_like(obs_rows)
+
         def value_and_grad_physics(vp):
+            if use_fused:
+                return fwi_l1_loss_grad(vp, wl.wavelet, *wl.geom,
+                                        wl.cfg, obs_rows, dir_rows)
             if mesh is None:
                 return jax.value_and_grad(raw)(vp)
             from physicsbasedfwi2_tpu.parallel import (
