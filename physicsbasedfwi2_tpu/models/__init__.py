@@ -22,7 +22,7 @@ from physicsbasedfwi2_tpu.models.autoencoders import (
     apply_elastic_output,
 )
 from physicsbasedfwi2_tpu.models.vae import VaeNet, ModelVae, kl_divergence
-from physicsbasedfwi2_tpu.models.unets import UNet, ASPPUNet, ResUNetPlusPlus
+from physicsbasedfwi2_tpu.models.unets import (UNet, ASPPUNet, ResUNetPlusPlus, UNet3Plus, MultiScaleUNet)
 from physicsbasedfwi2_tpu.models.gan import (
     ResnetGenerator,
     NLayerDiscriminator,
@@ -81,7 +81,11 @@ for _n in ["Unet", "UnetPre", "Unet22", "classic", "NewU", "unet_128",
     register_generator(_n, UNet)
 register_generator("Att", UNet, use_attention=True)
 register_generator("ASPP", ASPPUNet)
+register_generator("MultiASPP", ASPPUNet)
 register_generator("ResUNET", ResUNetPlusPlus)
+register_generator("UNet3Plus", UNet3Plus)
+register_generator("Multi", MultiScaleUNet)
+register_generator("Multi2", MultiScaleUNet)
 
 # --- VAEs (networks.py:4336, 14693, 15021, 16507) ---
 for _n in ["Vae", "Vae2", "Vae3", "VaeLatentNoPhy", "VaeLatent2NoPhy"]:
@@ -121,6 +125,8 @@ __all__ = [
     "UNet",
     "ASPPUNet",
     "ResUNetPlusPlus",
+    "UNet3Plus",
+    "MultiScaleUNet",
     "ResnetGenerator",
     "NLayerDiscriminator",
     "PixelDiscriminator",

@@ -125,3 +125,95 @@ class ResUNetPlusPlus(nn.Module):
             x = x[:, : nz, : nx, :]
         x = nn.Conv(self.out_channels, (1, 1))(x)
         return nn.sigmoid(x), None
+
+
+class UNet3Plus(nn.Module):
+    """UNet 3+ with full-scale skip connections (ref UNet_3Plus,
+    networks.py:1865): every decoder stage aggregates same-resolution
+    features pooled/upsampled from ALL encoder depths."""
+
+    out_channels: int = 1
+    filters: Sequence[int] = (16, 32, 64, 128)
+    out_shape: tuple[int, int] | None = None
+    norm: str = "group"
+    cat_channels: int = 16
+
+    @nn.compact
+    def __call__(self, x, *, deterministic: bool = True):
+        import jax
+        enc = []
+        h = x
+        for f in self.filters:
+            h = ConvBlock(f, self.norm)(h, deterministic=deterministic)
+            enc.append(h)
+            h = nn.avg_pool(h, (2, 2), strides=(2, 2))
+        bottom = ConvBlock(self.filters[-1] * 2, self.norm)(
+            h, deterministic=deterministic)
+
+        def resize_to(t, hw):
+            b, _, _, c = t.shape
+            return jax.image.resize(t, (b, hw[0], hw[1], c), "bilinear")
+
+        n = len(self.filters)
+        dec = bottom
+        for level in reversed(range(n)):
+            hw = enc[level].shape[1:3]
+            feats = []
+            # full-scale aggregation: every encoder level + the
+            # previous decoder output, all mapped to `hw`
+            for src in enc:
+                t = resize_to(src, hw)
+                feats.append(nn.Conv(self.cat_channels, (3, 3),
+                                     padding="SAME")(t))
+            feats.append(nn.Conv(self.cat_channels, (3, 3),
+                                 padding="SAME")(resize_to(dec, hw)))
+            cat = jnp.concatenate(feats, axis=-1)
+            dec = ConvBlock(self.cat_channels * (n + 1), self.norm)(
+                cat, deterministic=deterministic)
+        out = dec
+        if self.out_shape is not None:
+            import jax
+            b, hh, ww, c = out.shape
+            nz, nx = self.out_shape
+            if hh < nz or ww < nx:
+                out = jax.image.resize(out, (b, max(hh, nz), max(ww, nx), c),
+                                       "bilinear")
+            out = out[:, : nz, : nx, :]
+        out = nn.Conv(self.out_channels, (1, 1))(out)
+        return nn.sigmoid(out), None
+
+
+class MultiScaleUNet(nn.Module):
+    """Multi-scale-input U-Net (ref MultiU_Net, networks.py:1545 /
+    Multi2U_Net 1694): downsampled copies of the input are injected
+    at each encoder depth."""
+
+    out_channels: int = 1
+    filters: Sequence[int] = (16, 32, 64, 128)
+    out_shape: tuple[int, int] | None = None
+    norm: str = "group"
+
+    @nn.compact
+    def __call__(self, x, *, deterministic: bool = True):
+        import jax
+        skips = []
+        h = x
+        scaled = x
+        for i, f in enumerate(self.filters):
+            if i > 0:
+                b, hh, ww, c = scaled.shape
+                scaled = jax.image.resize(
+                    scaled, (b, hh // 2, ww // 2, c), "bilinear")
+                h = jnp.concatenate(
+                    [h, nn.Conv(4, (3, 3), padding="SAME")(scaled)], -1)
+            h = ConvBlock(f, self.norm)(h, deterministic=deterministic)
+            skips.append(h)
+            h = nn.avg_pool(h, (2, 2), strides=(2, 2))
+        h = ConvBlock(self.filters[-1] * 2, self.norm)(
+            h, deterministic=deterministic)
+        for f, skip in zip(reversed(self.filters), reversed(skips)):
+            h = UpCat(f, self.norm)(h, skip, deterministic=deterministic)
+        if self.out_shape is not None:
+            h = h[:, : self.out_shape[0], : self.out_shape[1], :]
+        h = nn.Conv(self.out_channels, (1, 1))(h)
+        return nn.sigmoid(h), None

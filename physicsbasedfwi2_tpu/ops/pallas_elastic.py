@@ -101,20 +101,22 @@ def _el_kernel(src_z, src_x, rcv_row, wav_sm,
         row0 = jax.lax.broadcasted_iota(jnp.int32, (vx.shape[0], 1), 0)
         fs_mask = (row0 != 0).astype(jnp.float32)  # zero row 0
 
+    dtx = dt * inv_dx
+
     def body(t, _):
-        sxx_v = sxx[:] + 0.0
-        szz_v = szz[:] + 0.0
-        sxz_v = sxz[:] + 0.0
-        vx[:] = damp * (vx[:] + dt * bx * (
-            _dx_fwd(sxx_v) * inv_dx + _dz_bwd(sxz_v) * inv_dx))
-        vz[:] = damp * (vz[:] + dt * bz * (
-            _dx_bwd(sxz_v) * inv_dx + _dz_fwd(szz_v) * inv_dx))
-        dvxdx = _dx_bwd(vx[:]) * inv_dx
-        dvzdz = _dz_bwd(vz[:]) * inv_dx
-        sxx[:] = damp * (sxx_v + dt * (l2m * dvxdx + lam * dvzdz))
-        new_szz = damp * (szz_v + dt * (lam * dvxdx + l2m * dvzdz))
-        new_sxz = damp * (sxz_v + dt * muxz * (
-            _dx_fwd(vz[:]) * inv_dx + _dz_fwd(vx[:]) * inv_dx))
+        # velocity updates read the current (old) stresses directly;
+        # stress updates below each read only their own old value, so
+        # no snapshots are needed
+        vx[:] = damp * (vx[:] + dtx * bx * (
+            _dx_fwd(sxx[:]) + _dz_bwd(sxz[:])))
+        vz[:] = damp * (vz[:] + dtx * bz * (
+            _dx_bwd(sxz[:]) + _dz_fwd(szz[:])))
+        dvxdx = _dx_bwd(vx[:])
+        dvzdz = _dz_bwd(vz[:])
+        sxx[:] = damp * (sxx[:] + dtx * (l2m * dvxdx + lam * dvzdz))
+        new_szz = damp * (szz[:] + dtx * (lam * dvxdx + l2m * dvzdz))
+        new_sxz = damp * (sxz[:] + dtx * muxz * (
+            _dx_fwd(vz[:]) + _dz_fwd(vx[:])))
         if free_surface:
             new_szz = new_szz * fs_mask
         szz[:] = new_szz

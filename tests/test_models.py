@@ -152,3 +152,15 @@ def test_registry_covers_reference_names():
         assert False
     except KeyError:
         pass
+
+
+def test_unet3plus_and_multiscale():
+    from physicsbasedfwi2_tpu.models import UNet3Plus, MultiScaleUNet
+    x = jnp.zeros((1, 64, 64, 2))
+    for net in (UNet3Plus(filters=(4, 8, 16), out_shape=(50, 60)),
+                MultiScaleUNet(filters=(4, 8, 16), out_shape=(50, 60))):
+        p = net.init(KEY, x)
+        out, _ = net.apply(p, x)
+        assert out.shape == (1, 50, 60, 1)
+    for name in ("UNet3Plus", "Multi", "Multi2", "MultiASPP"):
+        assert define_generator(name, out_shape=(32, 32)) is not None
