@@ -22,7 +22,7 @@ from physicsbasedfwi2_tpu.models.autoencoders import (
     apply_elastic_output,
 )
 from physicsbasedfwi2_tpu.models.vae import VaeNet, ModelVae, kl_divergence
-from physicsbasedfwi2_tpu.models.unets import (UNet, ASPPUNet, ResUNetPlusPlus, UNet3Plus, MultiScaleUNet)
+from physicsbasedfwi2_tpu.models.unets import (UNet, ASPPUNet, ResUNetPlusPlus, UNet3Plus, MultiScaleUNet, R2UNet)
 from physicsbasedfwi2_tpu.models.gan import (
     ResnetGenerator,
     NLayerDiscriminator,
@@ -84,6 +84,8 @@ register_generator("ASPP", ASPPUNet)
 register_generator("MultiASPP", ASPPUNet)
 register_generator("ResUNET", ResUNetPlusPlus)
 register_generator("UNet3Plus", UNet3Plus)
+register_generator("R2U", R2UNet)
+register_generator("R2AttU", R2UNet, use_attention=True)
 register_generator("Multi", MultiScaleUNet)
 register_generator("Multi2", MultiScaleUNet)
 
@@ -127,6 +129,7 @@ __all__ = [
     "ResUNetPlusPlus",
     "UNet3Plus",
     "MultiScaleUNet",
+    "R2UNet",
     "ResnetGenerator",
     "NLayerDiscriminator",
     "PixelDiscriminator",

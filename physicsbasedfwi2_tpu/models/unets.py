@@ -217,3 +217,53 @@ class MultiScaleUNet(nn.Module):
             h = h[:, : self.out_shape[0], : self.out_shape[1], :]
         h = nn.Conv(self.out_channels, (1, 1))(h)
         return nn.sigmoid(h), None
+
+
+class RecurrentConvBlock(nn.Module):
+    """Recurrent conv unit (ref R2U_Net's Recurrent_block,
+    networks.py:1207): the conv is applied t times with the input
+    re-added each pass, weights shared across passes."""
+
+    features: int
+    t: int = 2
+    norm: str = "group"
+
+    @nn.compact
+    def __call__(self, x):
+        if x.shape[-1] != self.features:
+            x = nn.Conv(self.features, (1, 1))(x)
+        conv = nn.Conv(self.features, (3, 3), padding="SAME")
+        gn = nn.GroupNorm(num_groups=min(8, self.features))
+        h = nn.leaky_relu(gn(conv(x)), 0.1)
+        for _ in range(self.t):
+            h = nn.leaky_relu(gn(conv(x + h)), 0.1)
+        return h
+
+
+class R2UNet(nn.Module):
+    """Recurrent-residual U-Net (ref R2U_Net networks.py:1207;
+    with use_attention=True ~ R2AttU_Net 1279)."""
+
+    out_channels: int = 1
+    filters: Sequence[int] = (16, 32, 64, 128)
+    out_shape: tuple[int, int] | None = None
+    t: int = 2
+    use_attention: bool = False
+
+    @nn.compact
+    def __call__(self, x, *, deterministic: bool = True):
+        skips = []
+        for f in self.filters:
+            sc = nn.Conv(f, (1, 1))(x)
+            x = sc + RecurrentConvBlock(f, self.t)(sc)  # residual
+            skips.append(x)
+            x = nn.avg_pool(x, (2, 2), strides=(2, 2))
+        x = RecurrentConvBlock(self.filters[-1] * 2, self.t)(x)
+        for f, skip in zip(reversed(self.filters), reversed(skips)):
+            if self.use_attention:
+                skip = CBAM()(skip)
+            x = UpCat(f)(x, skip, deterministic=deterministic)
+        if self.out_shape is not None:
+            x = x[:, : self.out_shape[0], : self.out_shape[1], :]
+        x = nn.Conv(self.out_channels, (1, 1))(x)
+        return nn.sigmoid(x), None

@@ -164,3 +164,13 @@ def test_unet3plus_and_multiscale():
         assert out.shape == (1, 50, 60, 1)
     for name in ("UNet3Plus", "Multi", "Multi2", "MultiASPP"):
         assert define_generator(name, out_shape=(32, 32)) is not None
+
+
+def test_r2unet_variants():
+    from physicsbasedfwi2_tpu.models import R2UNet
+    x = jax.random.normal(KEY, (1, 32, 32, 2))
+    for name in ("R2U", "R2AttU"):
+        net = define_generator(name, out_shape=(28, 30), filters=(4, 8))
+        p = net.init(KEY, x)
+        out, _ = net.apply(p, x)
+        assert out.shape == (1, 28, 30, 1)
