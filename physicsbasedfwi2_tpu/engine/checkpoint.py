@@ -8,9 +8,7 @@ the full state (params + optimizer + epoch + rng) round-trips.
 from __future__ import annotations
 
 import os
-from typing import Any
 
-import jax
 import numpy as np
 
 

@@ -14,7 +14,6 @@ wrapper around the physics loss, so its hyperparameters transfer.
 
 from __future__ import annotations
 
-import dataclasses
 import functools
 import os
 from typing import Any

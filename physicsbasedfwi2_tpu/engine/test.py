@@ -16,7 +16,6 @@ import numpy as np
 
 from physicsbasedfwi2_tpu.engine.config import get_workload, list_workloads
 from physicsbasedfwi2_tpu.engine.engines import create_engine
-from physicsbasedfwi2_tpu.engine.visualizer import Visualizer
 
 
 def evaluate(cfg, *, epoch="latest", realizations: int = 1,

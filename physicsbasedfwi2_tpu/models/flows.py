@@ -10,7 +10,6 @@ Capability-equivalents of:
 
 from __future__ import annotations
 
-from collections.abc import Sequence
 
 import jax.numpy as jnp
 from flax import linen as nn

@@ -8,7 +8,6 @@ util/image_pool.py history buffer).
 
 from __future__ import annotations
 
-from collections.abc import Sequence
 
 import jax
 import jax.numpy as jnp

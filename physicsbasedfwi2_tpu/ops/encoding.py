@@ -13,13 +13,11 @@ step; super-shots ride the same vmap/shard_map axes as regular shots.
 
 from __future__ import annotations
 
-import dataclasses
 import functools
 
 import jax
 import jax.numpy as jnp
 
-from physicsbasedfwi2_tpu.geo.grid import Grid2D
 from physicsbasedfwi2_tpu.ops.acoustic import AcousticConfig, _pad_model, _damping
 from physicsbasedfwi2_tpu.ops import stencil
 from physicsbasedfwi2_tpu.ops.scan_utils import chunked_checkpoint_scan

@@ -35,7 +35,6 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from physicsbasedfwi2_tpu.geo.grid import Grid2D
 from physicsbasedfwi2_tpu.ops import pml
 from physicsbasedfwi2_tpu.ops.elastic import ElasticConfig, _pad, _staggered_medium
 from physicsbasedfwi2_tpu.ops.pallas_kernels import (

@@ -29,7 +29,6 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from physicsbasedfwi2_tpu.geo.grid import Grid2D
 from physicsbasedfwi2_tpu.ops import pml
 from physicsbasedfwi2_tpu.ops.acoustic import AcousticConfig, _damping, _pad_model
 
