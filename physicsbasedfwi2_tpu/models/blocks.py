@@ -16,9 +16,19 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 
+def num_groups_for(channels: int, cap: int = 8) -> int:
+    """Largest divisor of `channels` that is <= cap (GroupNorm
+    requires num_groups | channels; concat stages produce counts like
+    12 that 8 does not divide)."""
+    for g in range(min(cap, channels), 0, -1):
+        if channels % g == 0:
+            return g
+    return 1
+
+
 def _norm(norm: str, features: int):
     if norm == "group":
-        return nn.GroupNorm(num_groups=min(8, features))
+        return nn.GroupNorm(num_groups=num_groups_for(features))
     if norm == "layer":
         return nn.LayerNorm()
     if norm == "none":
@@ -80,9 +90,31 @@ class Up(nn.Module):
             x, deterministic=deterministic)
 
 
+def match_spatial(x: jnp.ndarray, h: int, w: int) -> jnp.ndarray:
+    """Center pad-or-crop [B, H, W, C] to (h, w).  Needed wherever a
+    2x-upsampled decoder tensor meets an encoder skip: with odd
+    spatial dims the pooled-then-doubled size can land on either side
+    of the skip's (avg_pool floors, resize_2x doubles)."""
+    dh = h - x.shape[1]
+    dw = w - x.shape[2]
+    if dh > 0 or dw > 0:
+        x = jnp.pad(x, ((0, 0),
+                        (max(dh, 0) // 2, max(dh, 0) - max(dh, 0) // 2),
+                        (max(dw, 0) // 2, max(dw, 0) - max(dw, 0) // 2),
+                        (0, 0)))
+    if dh < 0 or dw < 0:
+        oh = max(-dh, 0) // 2
+        ow = max(-dw, 0) // 2
+        x = x[:, oh:oh + h, ow:ow + w, :]
+    return x
+
+
 class UpCat(nn.Module):
-    """U-Net decoder stage: upsample, pad-match, concat skip, conv
-    (ref unetUp, networks.py:2315)."""
+    """U-Net decoder stage: upsample, pad/crop-match to the skip,
+    concat, conv (ref unetUp, networks.py:2315).  The decoder tensor
+    is matched to the *skip's* spatial shape so encoder input dims
+    propagate back up unchanged — works for odd dims (e.g. nt=4001)
+    where the old pad-skip-only scheme produced negative pad widths."""
 
     features: int
     norm: str = "group"
@@ -91,10 +123,7 @@ class UpCat(nn.Module):
     def __call__(self, x, skip, *, deterministic: bool = True):
         x = resize_2x(x)
         x = nn.Conv(self.features, (3, 3), padding="SAME")(x)
-        dh = x.shape[1] - skip.shape[1]
-        dw = x.shape[2] - skip.shape[2]
-        skip = jnp.pad(skip, ((0, 0), (dh // 2, dh - dh // 2),
-                              (dw // 2, dw - dw // 2), (0, 0)))
+        x = match_spatial(x, skip.shape[1], skip.shape[2])
         x = jnp.concatenate([skip, x], axis=-1)
         return ConvBlock(self.features, self.norm)(
             x, deterministic=deterministic)
@@ -172,7 +201,7 @@ class ASPP(nn.Module):
         for r in self.rates:
             b = nn.Conv(self.features, (3, 3), padding="SAME",
                         kernel_dilation=(r, r))(x)
-            b = nn.GroupNorm(num_groups=min(8, self.features))(b)
+            b = nn.GroupNorm(num_groups=num_groups_for(self.features))(b)
             branches.append(nn.relu(b))
         x = jnp.concatenate(branches, axis=-1)
         return nn.Conv(self.features, (1, 1))(x)
@@ -186,11 +215,11 @@ class ResidualConv(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        h = nn.GroupNorm(num_groups=min(8, x.shape[-1]))(x)
+        h = nn.GroupNorm(num_groups=num_groups_for(x.shape[-1]))(x)
         h = nn.relu(h)
         h = nn.Conv(self.features, (3, 3), strides=self.strides,
                     padding="SAME")(h)
-        h = nn.GroupNorm(num_groups=min(8, self.features))(h)
+        h = nn.GroupNorm(num_groups=num_groups_for(self.features))(h)
         h = nn.relu(h)
         h = nn.Conv(self.features, (3, 3), padding="SAME")(h)
         sc = nn.Conv(self.features, (1, 1), strides=self.strides)(x)

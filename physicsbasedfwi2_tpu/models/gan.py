@@ -13,6 +13,8 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
+from physicsbasedfwi2_tpu.models.blocks import num_groups_for
+
 
 class ResnetBlock(nn.Module):
     features: int
@@ -21,12 +23,12 @@ class ResnetBlock(nn.Module):
     @nn.compact
     def __call__(self, x, *, deterministic: bool = True):
         h = nn.Conv(self.features, (3, 3), padding="SAME")(x)
-        h = nn.GroupNorm(num_groups=min(8, self.features))(h)
+        h = nn.GroupNorm(num_groups=num_groups_for(self.features))(h)
         h = nn.relu(h)
         if self.dropout > 0:
             h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
         h = nn.Conv(self.features, (3, 3), padding="SAME")(h)
-        h = nn.GroupNorm(num_groups=min(8, self.features))(h)
+        h = nn.GroupNorm(num_groups=num_groups_for(self.features))(h)
         return x + h
 
 

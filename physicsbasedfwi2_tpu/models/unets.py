@@ -15,7 +15,7 @@ from flax import linen as nn
 
 from physicsbasedfwi2_tpu.models.blocks import (
     ASPP, CBAM, ConvBlock, Down, ResidualConv, SqueezeExcite, Up, UpCat,
-    resize_2x,
+    match_spatial, num_groups_for, resize_2x,
 )
 
 
@@ -109,10 +109,7 @@ class ResUNetPlusPlus(nn.Module):
         for f, skip in zip(reversed(self.filters[:-1]),
                            reversed(skips[:-1])):
             x = resize_2x(x)
-            dh = x.shape[1] - skip.shape[1]
-            dw = x.shape[2] - skip.shape[2]
-            skip = jnp.pad(skip, ((0, 0), (dh // 2, dh - dh // 2),
-                                  (dw // 2, dw - dw // 2), (0, 0)))
+            x = match_spatial(x, skip.shape[1], skip.shape[2])
             x = jnp.concatenate([skip, x], axis=-1)
             x = ResidualConv(f)(x)
         if self.out_shape is not None:
@@ -233,7 +230,7 @@ class RecurrentConvBlock(nn.Module):
         if x.shape[-1] != self.features:
             x = nn.Conv(self.features, (1, 1))(x)
         conv = nn.Conv(self.features, (3, 3), padding="SAME")
-        gn = nn.GroupNorm(num_groups=min(8, self.features))
+        gn = nn.GroupNorm(num_groups=num_groups_for(self.features))
         h = nn.leaky_relu(gn(conv(x)), 0.1)
         for _ in range(self.t):
             h = nn.leaky_relu(gn(conv(x + h)), 0.1)

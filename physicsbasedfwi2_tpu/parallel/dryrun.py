@@ -1,0 +1,131 @@
+"""Multi-chip dry run: one FULL sharded FWI training step.
+
+This module is executed as a *fresh subprocess* by
+``__graft_entry__.dryrun_multichip`` so that platform selection (CPU
+with N virtual devices) happens before ANY backend initialization —
+env vars / ``jax.config`` are too late once a backend (e.g. the axon
+TPU tunnel) has initialized in the parent process.
+
+Parallelism layout (FWI's natural axes — SURVEY.md §2.2: no
+attention/MoE in this domain, so TP/PP/EP degenerate; DP == shot
+parallelism, SP == the time axis handled by rematerialized scan):
+generator weights replicated, shots + observed data sharded over the
+mesh's "shot" axis, psum for loss/grad reduction.  This replaces the
+reference's Ray per-shot GPU fan-out (Auto_model.py:69-199) and
+DENISE's MPI ranks (networks.py:7709-7710).
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+import sys
+
+
+def _force_cpu_devices(n_devices: int) -> None:
+    """Select the CPU platform with n virtual devices.  MUST run
+    before any jax backend initialization in this process."""
+    flags = os.environ.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in flags:
+        os.environ["XLA_FLAGS"] = (
+            flags + f" --xla_force_host_platform_device_count={n_devices}"
+        ).strip()
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+
+
+def run(n_devices: int) -> float:
+    """One sharded training step on an already-configured backend.
+
+    Requires >= n_devices jax devices; returns the (finite) loss.
+    """
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    import optax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from jax import shard_map
+
+    from physicsbasedfwi2_tpu.geo import Grid2D, ricker, surface_line
+    from physicsbasedfwi2_tpu.ops import (
+        AcousticConfig, simulate_acoustic, trace_normalize)
+    from physicsbasedfwi2_tpu.models import (
+        AutoEncoderNet, apply_velocity_output)
+    from physicsbasedfwi2_tpu.parallel import make_mesh
+
+    if len(jax.devices()) < n_devices:
+        raise RuntimeError(
+            f"need {n_devices} devices, have {len(jax.devices())}")
+
+    mesh = make_mesh(n_devices)
+    ns = 2 * n_devices  # 2 shots per device
+    nz, nx, nt, nr = 32, 48, 128, 24
+    grid = Grid2D(nz=nz, nx=nx, dx=10.0, nt=nt, dt=0.002, pml_width=12)
+    cfg = AcousticConfig(grid=grid, chunk=32, vmax_pml=3000.0)
+    wav = ricker(10.0, nt, 0.002)
+    acq = surface_line(ns, nr, nx, src_depth=2, rcv_depth=2)
+    sz, sx, rz, rx = (jnp.asarray(a) for a in
+                      (acq.src_z, acq.src_x, acq.rcv_z, acq.rcv_x))
+
+    vp_true = jnp.full((nz, nx), 1800.0, jnp.float32).at[16:, :].set(2200.0)
+    obs = simulate_acoustic(vp_true, wav, sz, sx, rz, rx, cfg)
+    obs_norm = trace_normalize(obs)
+    shots_in = jnp.transpose(obs, (1, 2, 0))[None]
+    true_b = vp_true[None, :, :, None]
+
+    net = AutoEncoderNet(out_shape=(nz, nx), latent_dim=8, filters=(4, 8, 16))
+    params = net.init(jax.random.PRNGKey(0), shots_in)
+    opt = optax.adam(1e-3)
+    opt_state = opt.init(params)
+
+    # place sharded operands
+    shot_sharding = NamedSharding(mesh, P("shot"))
+    repl = NamedSharding(mesh, P())
+    obs_norm = jax.device_put(obs_norm, shot_sharding)
+    sz = jax.device_put(sz, shot_sharding)
+    sx = jax.device_put(sx, shot_sharding)
+    rz = jax.device_put(rz, shot_sharding)
+    rx = jax.device_put(rx, shot_sharding)
+    params = jax.device_put(params, repl)
+
+    @functools.partial(
+        shard_map, mesh=mesh,
+        in_specs=(P(), P(), P("shot"), P("shot"), P("shot"), P("shot"),
+                  P("shot")),
+        out_specs=P(),
+        check_vma=False)
+    def sharded_data_loss(vp, wav_, sz_, sx_, rz_, rx_, obs_):
+        pred = simulate_acoustic(vp, wav_, sz_, sx_, rz_, rx_, cfg)
+        m = jnp.max(jnp.abs(pred), axis=1, keepdims=True)
+        pred = pred / (m + 1e-10)
+        local = jnp.sum((pred - obs_) ** 2)
+        return jax.lax.psum(local, "shot") / (ns * nt * nr)
+
+    @jax.jit
+    def train_step(params, opt_state):
+        def loss_fn(p):
+            f01, _ = net.apply(p, shots_in)
+            vp = apply_velocity_output(f01, true_b)[0, :, :, 0]
+            return sharded_data_loss(vp, wav, sz, sx, rz, rx, obs_norm)
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = opt.update(grads, opt_state)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    params, opt_state, loss = train_step(params, opt_state)
+    loss = float(loss)
+    assert np.isfinite(loss), f"non-finite loss {loss}"
+    return loss
+
+
+def main(argv=None) -> None:
+    argv = argv if argv is not None else sys.argv[1:]
+    n = int(argv[0]) if argv else 8
+    _force_cpu_devices(n)
+    loss = run(n)
+    print(f"dryrun_multichip({n}): one sharded FWI train step OK, "
+          f"loss={loss:.6e}")
+
+
+if __name__ == "__main__":
+    main()

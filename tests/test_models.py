@@ -93,6 +93,37 @@ def test_unet_shapes():
     assert out.shape == (1, 151, 200, 1)
 
 
+def test_unet_odd_input_dims():
+    """Odd spatial dims (the real workloads have nt=4001): avg_pool
+    floors, resize_2x doubles, so decoder/skip sizes disagree at every
+    level — UpCat must pad/crop-match instead of raising (ADVICE r1)."""
+    net = UNet(out_channels=1, filters=(4, 8, 16), out_shape=(151, 200))
+    x = jnp.zeros((1, 401, 200, 18))  # odd nt after 4x decimation
+    params = net.init(KEY, x)
+    out, _ = net.apply(params, x)
+    assert out.shape == (1, 151, 200, 1)
+    # odd both ways, plus ResUNet++/MultiScale/R2U decoder paths
+    from physicsbasedfwi2_tpu.models import ResUNetPlusPlus, MultiScaleUNet
+    x2 = jnp.zeros((1, 101, 75, 3))
+    for net2 in (UNet(filters=(4, 8), out_shape=(51, 61)),
+                 ResUNetPlusPlus(filters=(4, 8, 16), out_shape=(51, 61)),
+                 MultiScaleUNet(filters=(4, 8), out_shape=(51, 61))):
+        p2 = net2.init(KEY, x2)
+        out2, _ = net2.apply(p2, x2)
+        assert out2.shape == (1, 51, 61, 1), type(net2).__name__
+
+
+def test_unet_marmousi_workload_constructs():
+    """The registered marmousi_acoustic_unet workload's engine must be
+    constructible at the real shapes (nt=4001) — regression for the
+    round-1 UpCat crash."""
+    net = UNet(out_channels=1, filters=(4, 8), out_shape=(151, 200))
+    x = jnp.zeros((1, 4001, 200, 18))
+    params = net.init(KEY, x)
+    out, _ = net.apply(params, x)
+    assert out.shape == (1, 151, 200, 1)
+
+
 def test_fno_and_lploss():
     net = FNO2d(out_channels=1, width=8, depth=2, modes=4)
     x = jnp.zeros((2, 32, 32, 3))
