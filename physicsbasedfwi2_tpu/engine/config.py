@@ -123,6 +123,9 @@ _EL = ExperimentConfig(
 register_workload("marmousi_elastic", _EL)
 register_workload("marmousi_elastic_lbfgs",
                   _EL.replace(optimizer="lbfgs", lr=5e-8))
+# density-inversion head (AutoElFullRhoMar22, networks.py:8552-8936)
+register_workload("marmousi_elastic_rho",
+                  _EL.replace(netG="AutoElFullRhoMar22"))
 
 # --- BASELINE.json config 4: VAE latent-space inversion ------------------
 register_workload("latent_inversion", ExperimentConfig(

@@ -300,29 +300,40 @@ class ElasticDIPEngine(EngineBase):
             dropout=cfg.dropout)
         self.in_vx = jnp.transpose(self.wl.obs_vx, (1, 2, 0))[None]
         self.in_vz = jnp.transpose(self.wl.obs_vz, (1, 2, 0))[None]
-        self.lowf = jnp.stack([self.wl.start["vp"], self.wl.start["vs"]],
-                              -1)[None]
-        self.true_m = jnp.stack([self.wl.true["vp"], self.wl.true["vs"]],
-                                -1)[None]
+        # n_fields comes from the generator: 2 = vp/vs with rho taken
+        # from the low-frequency model (networks.py:7458), 3 = rho
+        # inversion head (AutoElFullRhoMar22, networks.py:8552-8936).
+        self.n_fields = int(getattr(self.net, "n_fields", 2))
+        names = ("vp", "vs", "rho")[: self.n_fields]
+        self.field_names = names
+        self.lowf = jnp.stack([self.wl.start[k] for k in names], -1)[None]
+        self.true_m = jnp.stack([self.wl.true[k] for k in names], -1)[None]
         self.params = self.net.init(jax.random.PRNGKey(cfg.seed),
                                     self.in_vx, self.in_vz)
         self.opt = _make_optimizer(cfg)
         self.opt_state = self.opt.init(self.params)
-        self.delta_scale = (300.0, 200.0)
-        self.clip_min = (1500.0, 0.0)
-        self.clip_max = (4700.0, 2700.0)
+        # per-field box constraints (DENISE VPUPPERLIM..RHOLOWERLIM,
+        # networks.py:7723-7730)
+        self.delta_scale = (300.0, 200.0, 150.0)[: self.n_fields]
+        self.clip_min = (1500.0, 0.0, 900.0)[: self.n_fields]
+        self.clip_max = (4700.0, 2700.0, 3000.0)[: self.n_fields]
         self._rng = jax.random.PRNGKey(cfg.seed + 7)
         self._step_cache = {}
 
-    def _physics_loss_raw(self, vp, vs, fc, shot_idx):
+    def _physics_loss_raw(self, m, fc, shot_idx):
         """Misfit on a shot subset with per-stage low-pass —
-        the d.grad() role (networks.py:7787)."""
+        the d.grad() role (networks.py:7787).  ``m`` is the stacked
+        [nz, nx, F] model; with F == 2 the density entering the
+        simulation is the LOW-FREQUENCY rho (networks.py:7458 — never
+        the ground truth)."""
         cfg, wl = self.cfg, self.wl
         sz = wl.geom[0][shot_idx]
         sx = wl.geom[1][shot_idx]
         rz = wl.geom[2][shot_idx]
         rx = wl.geom[3][shot_idx]
-        pvx, pvz = simulate_elastic(vp, vs, wl.true["rho"], wl.wavelet,
+        vp, vs = m[..., 0], m[..., 1]
+        rho = m[..., 2] if self.n_fields == 3 else wl.start["rho"]
+        pvx, pvz = simulate_elastic(vp, vs, rho, wl.wavelet,
                                     sz, sx, rz, rx, wl.cfg)
         ovx = wl.obs_vx[shot_idx]
         ovz = wl.obs_vz[shot_idx]
@@ -336,26 +347,26 @@ class ElasticDIPEngine(EngineBase):
     def _make_physics_loss(self, fc):
         """Per-field gradient post-processing chain (networks.py:
         7799-7862): top-rows taper + per-field rescale to the model
-        magnitude."""
+        magnitude, over all inverted fields (vp, vs[, rho])."""
         cfg = self.cfg
         raw = self._physics_loss_raw
+        n_fields = self.n_fields
 
         @jax.custom_vjp
-        def physics_loss(vp, vs, shot_idx):
-            return raw(vp, vs, fc, shot_idx)
+        def physics_loss(m, shot_idx):
+            return raw(m, fc, shot_idx)
 
-        def fwd(vp, vs, shot_idx):
-            loss, (gvp, gvs) = jax.value_and_grad(
-                lambda a, b: raw(a, b, fc, shot_idx), argnums=(0, 1))(vp, vs)
-            gvp = taper_top(gvp, cfg.water_rows)
-            gvs = taper_top(gvs, cfg.water_rows)
-            gvp = rescale_to_model(gvp, vp)
-            gvs = rescale_to_model(gvs, vs)
-            return loss, (gvp, gvs)
+        def fwd(m, shot_idx):
+            loss, gm = jax.value_and_grad(
+                lambda mm: raw(mm, fc, shot_idx))(m)
+            cols = []
+            for k in range(n_fields):
+                g = taper_top(gm[..., k], cfg.water_rows)
+                cols.append(rescale_to_model(g, m[..., k]))
+            return loss, jnp.stack(cols, -1)
 
         def bwd(res, g):
-            gvp, gvs = res
-            return (g * gvp, g * gvs, None)
+            return (g * res, None)
 
         physics_loss.defvjp(fwd, bwd)
         return physics_loss
@@ -375,8 +386,7 @@ class ElasticDIPEngine(EngineBase):
                 deltas, self.lowf, self.true_m,
                 delta_scale=self.delta_scale, clip_min=self.clip_min,
                 clip_max=self.clip_max, pin_rows=cfg.water_rows)
-            vp, vs = m[0, :, :, 0], m[0, :, :, 1]
-            loss_d = physics_loss(vp, vs, shot_idx)
+            loss_d = physics_loss(m[0], shot_idx)
             loss = loss_d
             if cfg.anchor_weight > 0:
                 # low-frequency anchor (AutoElMar22_model.py:312,374)
@@ -444,10 +454,24 @@ class ElasticDIPEngine(EngineBase):
 # ---------------------------------------------------------------------------
 
 class ClassicFWIEngine(EngineBase):
-    """The model grids ARE the parameters (networks.py:6477-6520)."""
+    """The model grids ARE the parameters (ref AutoEl22N via
+    define_G1, networks.py:6477-6520: tensors loaded from trainC with
+    requires_grad=True; the same training loop then performs plain
+    adjoint FWI).  Acoustic workloads invert vp; elastic workloads
+    (dataset_mode unalignedVelABCDEl) run the elastic P-SV physics
+    and invert vp + vs starting from the low-frequency model, with
+    rho held at the low-frequency model (networks.py:7458)."""
 
     def __init__(self, cfg: ExperimentConfig, workload=None):
         self.cfg = cfg
+        self.is_elastic = cfg.dataset_mode.lower().endswith("el")
+        if self.is_elastic:
+            self._init_elastic(workload)
+        else:
+            self._init_acoustic(workload)
+
+    def _init_acoustic(self, workload):
+        cfg = self.cfg
         self.wl = workload or SyntheticAcousticWorkload.build(
             nz=cfg.nz, nx=cfg.nx, dx=cfg.dx, nt=cfg.nt, dt=cfg.dt,
             pml_width=cfg.pml_width, freq=cfg.freq,
@@ -484,13 +508,87 @@ class ClassicFWIEngine(EngineBase):
 
         self._train_step = train_step
 
-    def optimize_parameters(self, epoch: int):
+    def _init_elastic(self, workload):
+        cfg = self.cfg
+        if workload is None and cfg.dataroot:
+            from physicsbasedfwi2_tpu.data.synthetic import (
+                elastic_workload_from_disk)
+            workload = elastic_workload_from_disk(
+                cfg.dataroot, nz=cfg.nz, nx=cfg.nx, dx=cfg.dx,
+                nt=cfg.nt, dt=cfg.dt, pml_width=cfg.pml_width,
+                freq=cfg.freq, free_surface=cfg.free_surface,
+                chunk=cfg.chunk, water_rows=cfg.water_rows)
+        self.wl = workload or SyntheticElasticWorkload.build(
+            nz=cfg.nz, nx=cfg.nx, dx=cfg.dx, nt=cfg.nt, dt=cfg.dt,
+            pml_width=cfg.pml_width, freq=cfg.freq,
+            num_shots=cfg.num_shots, num_receivers=cfg.num_receivers,
+            seed=cfg.seed, chunk=cfg.chunk,
+            free_surface=cfg.free_surface, water_rows=cfg.water_rows)
+        wl = self.wl
+        self.params = {"vp": wl.start["vp"], "vs": wl.start["vs"]}
+        self.opt = _make_optimizer(cfg)
+        self.opt_state = self.opt.init(self.params)
+        nsub = cfg.shots_per_iter or cfg.num_shots
+
+        def loss_fn(params, shot_idx):
+            sz = wl.geom[0][shot_idx]
+            sx = wl.geom[1][shot_idx]
+            rz = wl.geom[2][shot_idx]
+            rx = wl.geom[3][shot_idx]
+            pvx, pvz = simulate_elastic(
+                params["vp"], params["vs"], wl.start["rho"], wl.wavelet,
+                sz, sx, rz, rx, wl.cfg)
+            return (jnp.mean((pvx - wl.obs_vx[shot_idx]) ** 2)
+                    + jnp.mean((pvz - wl.obs_vz[shot_idx]) ** 2))
+
+        @jax.jit
+        def train_step(params, opt_state, shot_idx):
+            loss, grads = jax.value_and_grad(loss_fn)(params, shot_idx)
+            # DENISE-style post-processing: water rows zeroed, grads
+            # rescaled to model magnitude (networks.py:7808-7862)
+            grads = {k: rescale_to_model(taper_top(g, cfg.water_rows),
+                                         params[k])
+                     for k, g in grads.items()}
+            if cfg.optimizer == "lbfgs":
+                updates, opt_state = self.opt.update(
+                    grads, opt_state, params, value=loss, grad=grads,
+                    value_fn=lambda p: loss_fn(p, shot_idx))
+            else:
+                updates, opt_state = self.opt.update(grads, opt_state,
+                                                     params)
+            params = optax.apply_updates(params, updates)
+            params = {"vp": jnp.clip(params["vp"], 1490.0, 4700.0),
+                      "vs": jnp.clip(params["vs"], 0.0, 2700.0)}
+            return params, opt_state, loss
+
+        self._train_step_el = train_step
+        self._nsub = nsub
+        self._rng = jax.random.PRNGKey(cfg.seed + 11)
+
+    def optimize_parameters(self, epoch: int, freq: float | None = None):
+        if self.is_elastic:
+            self._rng, sub = jax.random.split(self._rng)
+            idx = jax.random.permutation(
+                sub, self.cfg.num_shots)[: self._nsub]
+            self.params, self.opt_state, loss = self._train_step_el(
+                self.params, self.opt_state, idx)
+            mse = float(
+                jnp.mean((self.params["vp"] - self.wl.true["vp"]) ** 2)
+                + jnp.mean((self.params["vs"] - self.wl.true["vs"]) ** 2))
+            return {"loss_D_MSE": float(loss), "loss_M_MSE": mse}
         self.params, self.opt_state, loss = self._train_step(
             self.params, self.opt_state)
         mse = float(jnp.mean((self.params["vp"] - self.wl.vp_true) ** 2))
         return {"loss_D_MSE": float(loss), "loss_M_MSE": mse}
 
     def test(self):
+        if self.is_elastic:
+            mse = float(
+                jnp.mean((self.params["vp"] - self.wl.true["vp"]) ** 2)
+                + jnp.mean((self.params["vs"] - self.wl.true["vs"]) ** 2))
+            m = np.stack([np.asarray(self.params["vp"]),
+                          np.asarray(self.params["vs"])], -1)
+            return {"loss_V_MSE": mse}, m
         mse = float(jnp.mean((self.params["vp"] - self.wl.vp_true) ** 2))
         return {"loss_V_MSE": mse}, np.asarray(self.params["vp"])
 
