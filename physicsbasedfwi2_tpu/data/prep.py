@@ -1,0 +1,266 @@
+"""Dataset preparation: ingest REAL velocity grids (Marmousi /
+Marmousi2 / SEAM slices) and materialize the training data tree.
+
+The reference's datasets/ directory holds download+combine tools and
+its FWI npy trees were prepared offline from the published grids
+(SURVEY.md §2.5; the trainA/.npy gathers were generated with deepwave
+and DENISE outside the repo).  This module is that missing prep step,
+TPU-native: read the published grid (SEG-Y, flat float32 .bin, or
+.npy), resample to the workload grid, synthesize the observed data
+with OUR propagators, and write the unalignedVelABCD2 /
+unalignedVelABCDEl contract that the engines consume.
+
+CLI:
+    fwi-prep --grid marmousi_vp.segy --out /data/marm --physics acoustic
+    fwi-prep --grid vp.bin --bin-nz 751 --bin-nx 2301 --physics elastic ...
+
+Standard grids this understands out of the box:
+  - Marmousi (classic): 751 x 2301 cells @ 4 m, vp in m/s
+  - Marmousi2 vp:       2801 x 13601 @ 1.25 m (SEG-Y, IBM floats)
+  - any .npy [nz, nx] float array in m/s (row 0 = surface)
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import struct
+
+import numpy as np
+
+
+# ---------------------------------------------------------------------------
+# readers
+# ---------------------------------------------------------------------------
+
+def _ibm32_to_float(u32: np.ndarray) -> np.ndarray:
+    """IBM System/360 hexadecimal float -> IEEE (SEG-Y format code 1)."""
+    u32 = u32.astype(np.uint32)
+    sign = np.where(u32 >> 31, -1.0, 1.0)
+    exponent = ((u32 >> 24) & 0x7F).astype(np.int32) - 64
+    mantissa = (u32 & 0x00FFFFFF).astype(np.float64) / float(1 << 24)
+    return (sign * mantissa * np.power(16.0, exponent)).astype(np.float32)
+
+
+def read_segy_grid(path: str) -> np.ndarray:
+    """Minimal SEG-Y reader for regular velocity-grid files: one trace
+    per lateral position, constant samples/trace.  Handles IBM
+    (format 1) and IEEE (format 5) sample encodings, big-endian
+    headers per the SEG-Y rev1 standard.  Returns [nz, nx]."""
+    with open(path, "rb") as f:
+        f.seek(3200)  # skip EBCDIC textual header
+        bin_hdr = f.read(400)
+        ns = struct.unpack(">H", bin_hdr[20:22])[0]        # byte 3221
+        fmt = struct.unpack(">H", bin_hdr[24:26])[0]       # byte 3225
+        if fmt not in (1, 5):
+            raise ValueError(f"unsupported SEG-Y sample format {fmt} "
+                             "(need 1=IBM or 5=IEEE)")
+        data = f.read()
+    trace_bytes = 240 + 4 * ns
+    ntr = len(data) // trace_bytes
+    if ntr == 0 or ns == 0:
+        raise ValueError(f"no traces parsed from {path}")
+    raw = np.frombuffer(data[: ntr * trace_bytes], dtype=np.uint8)
+    raw = np.ascontiguousarray(raw.reshape(ntr, trace_bytes)[:, 240:])
+    if fmt == 1:
+        u32 = raw.view(">u4").reshape(ntr, ns).astype(np.uint32)
+        cols = _ibm32_to_float(u32)
+    else:
+        cols = raw.view(">f4").reshape(ntr, ns).astype(np.float32)
+    # traces are depth columns; transpose to [nz, nx]
+    return np.ascontiguousarray(cols.T)
+
+
+def read_velocity_grid(path: str, *, bin_nz: int | None = None,
+                       bin_nx: int | None = None) -> np.ndarray:
+    """Dispatch on extension: .npy | .segy/.sgy | .bin/.dat (flat
+    little-endian float32, needs bin_nz x bin_nx)."""
+    ext = os.path.splitext(path)[1].lower()
+    if ext == ".npy":
+        m = np.load(path)
+        if m.ndim != 2:
+            raise ValueError(f"expected 2D grid, got shape {m.shape}")
+        return m.astype(np.float32)
+    if ext in (".segy", ".sgy"):
+        return read_segy_grid(path)
+    if ext in (".bin", ".dat", ".rsf@", ""):
+        if not bin_nz or not bin_nx:
+            raise ValueError(".bin grids need --bin-nz/--bin-nx")
+        m = np.fromfile(path, dtype=np.float32)
+        if m.size != bin_nz * bin_nx:
+            raise ValueError(
+                f"{path}: {m.size} floats != {bin_nz}x{bin_nx}")
+        return m.reshape(bin_nz, bin_nx)
+    raise ValueError(f"unknown grid format {ext!r}")
+
+
+def resample_grid(m: np.ndarray, nz: int, nx: int) -> np.ndarray:
+    """Bilinear resample to the workload grid."""
+    import jax
+    return np.asarray(jax.image.resize(
+        np.asarray(m, np.float32), (nz, nx), method="bilinear"))
+
+
+def normalize_velocity(m: np.ndarray, *, unit: str = "auto",
+                       vmin: float = 1400.0,
+                       vmax: float = 5000.0) -> np.ndarray:
+    """Unit fixups: km/s grids x1000 (auto: km/s values are O(1..6));
+    clip to physical range."""
+    m = m.astype(np.float32)
+    if unit == "km/s" or (unit == "auto" and m.max() < 20.0):
+        m = m * 1000.0
+    return np.clip(m, vmin, vmax)
+
+
+# ---------------------------------------------------------------------------
+# workload materialization
+# ---------------------------------------------------------------------------
+
+def prepare_acoustic_tree(vp: np.ndarray, out_root: str, *,
+                          dx: float = 10.0, nt: int = 4001,
+                          dt: float = 0.001, freq: float = 8.0,
+                          num_shots: int = 18, num_receivers: int = 200,
+                          pml_width: int = 20, water_rows: int = 26,
+                          chunk: int = 64, smooth_iters: int = 40,
+                          phases=("train", "test"), test_seed: int = 17):
+    """vp [nz, nx] -> unalignedVelABCD2 npy tree with observed data
+    simulated by our acoustic propagator (trainA), the true model
+    (trainB) and the smoothed start (trainC); a perturbed 'test' twin
+    provides the held-out validation sample (create_dataset2 role)."""
+    import jax.numpy as jnp
+    from physicsbasedfwi2_tpu.geo import Grid2D, check_cfl, ricker, \
+        surface_line
+    from physicsbasedfwi2_tpu.ops import (AcousticConfig,
+                                          simulate_acoustic)
+    from physicsbasedfwi2_tpu.data.synthetic import smooth_model
+
+    nz, nx = vp.shape
+    grid = Grid2D(nz=nz, nx=nx, dx=dx, nt=nt, dt=dt, pml_width=pml_width)
+    cfg = AcousticConfig(grid=grid, chunk=chunk, vmax_pml=5000.0)
+    check_cfl(float(vp.max()), grid)
+    wav = ricker(freq, nt, dt)
+    acq = surface_line(num_shots, num_receivers, nx, src_depth=0,
+                       rcv_depth=0)
+    geom = tuple(jnp.asarray(a) for a in
+                 (acq.src_z, acq.src_x, acq.rcv_z, acq.rcv_x))
+
+    rng = np.random.default_rng(test_seed)
+    for phase in phases:
+        m = vp.copy()
+        if phase != "train":
+            # held-out twin: smooth bump perturbation of the grid
+            z, x = np.mgrid[0:nz, 0:nx].astype(np.float32)
+            zc, xc = rng.uniform(0.4, 0.7) * nz, rng.uniform(0.3, 0.7) * nx
+            bump = 150.0 * np.exp(-(((z - zc) / (0.1 * nz)) ** 2
+                                    + ((x - xc) / (0.1 * nx)) ** 2))
+            m = np.clip(m + bump, m.min(), m.max())
+            m[:water_rows] = vp[:water_rows]
+        obs = np.asarray(simulate_acoustic(jnp.asarray(m), wav, *geom,
+                                           cfg))
+        start = smooth_model(m, iters=smooth_iters,
+                             preserve_rows=water_rows)
+        for letter, arr in (("A", obs), ("B", m), ("C", start)):
+            d = os.path.join(out_root, phase + letter)
+            os.makedirs(d, exist_ok=True)
+            np.save(os.path.join(d, "0.npy"), np.asarray(arr, np.float32))
+    return out_root
+
+
+def prepare_elastic_tree(vp: np.ndarray, out_root: str, *,
+                         dx: float = 20.0, nt: int = 1667,
+                         dt: float = 0.0015, freq: float = 10.0,
+                         num_shots: int = 35, num_receivers: int = 298,
+                         pml_width: int = 20, water_rows: int = 26,
+                         chunk: int = 64, vpvs: float = 1.8,
+                         free_surface: bool = True,
+                         smooth_iters: int = 40):
+    """vp [nz, nx] -> unalignedVelABCDEl npy tree (A/D = vx/vz
+    gathers, B = [Vp;Vs;Rho]/100, C = low-freq triple /100 — the
+    reference's hectometer storage units,
+    unalignedVelABCDEl_dataset.py:84-87)."""
+    import jax.numpy as jnp
+    from physicsbasedfwi2_tpu.geo import Grid2D, check_cfl, ricker
+    from physicsbasedfwi2_tpu.geo.acquisition import Acquisition
+    from physicsbasedfwi2_tpu.ops import ElasticConfig, simulate_elastic
+    from physicsbasedfwi2_tpu.data.synthetic import (make_elastic_model,
+                                                     smooth_model)
+
+    nz, nx = vp.shape
+    grid = Grid2D(nz=nz, nx=nx, dx=dx, nt=nt, dt=dt,
+                  pml_width=pml_width, free_surface=free_surface)
+    cfg = ElasticConfig(grid=grid, chunk=chunk, vmax_pml=5000.0)
+    check_cfl(float(vp.max()), grid)
+    wav = ricker(freq, nt, dt)
+    vp_t, vs_t, rho_t = make_elastic_model(vp, vpvs=vpvs,
+                                           water_rows=water_rows)
+    src_x = np.round(np.linspace(2, nx - 3, num_shots)).astype(np.int32)
+    src_z = np.full(num_shots, min(water_rows + 1, nz - 2), np.int32)
+    rx = np.round(np.linspace(1, nx - 2, num_receivers)).astype(np.int32)
+    acq = Acquisition(src_z, src_x,
+                      np.full((num_shots, num_receivers),
+                              min(water_rows + 1, nz - 2), np.int32),
+                      np.tile(rx, (num_shots, 1)))
+    geom = tuple(jnp.asarray(a) for a in
+                 (acq.src_z, acq.src_x, acq.rcv_z, acq.rcv_x))
+    ovx, ovz = simulate_elastic(jnp.asarray(vp_t), jnp.asarray(vs_t),
+                                jnp.asarray(rho_t), wav, *geom, cfg)
+    b = np.stack([vp_t, vs_t, rho_t]) / 100.0
+    c = np.stack([smooth_model(f, iters=smooth_iters,
+                               preserve_rows=water_rows)
+                  for f in (vp_t, vs_t, rho_t)]) / 100.0
+    for letter, arr in (("A", np.asarray(ovx)), ("B", b), ("C", c),
+                        ("D", np.asarray(ovz))):
+        d = os.path.join(out_root, "train" + letter)
+        os.makedirs(d, exist_ok=True)
+        np.save(os.path.join(d, "0.npy"), np.asarray(arr, np.float32))
+    return out_root
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(
+        description="Prepare FWI training data from a published "
+                    "velocity grid (Marmousi/SEAM)")
+    p.add_argument("--grid", required=True,
+                   help=".segy/.sgy, .npy, or flat float32 .bin")
+    p.add_argument("--out", required=True, help="output dataroot")
+    p.add_argument("--physics", choices=("acoustic", "elastic"),
+                   default="acoustic")
+    p.add_argument("--nz", type=int, default=151)
+    p.add_argument("--nx", type=int, default=200)
+    p.add_argument("--bin-nz", type=int, default=None)
+    p.add_argument("--bin-nx", type=int, default=None)
+    p.add_argument("--dx", type=float, default=None)
+    p.add_argument("--nt", type=int, default=None)
+    p.add_argument("--dt", type=float, default=None)
+    p.add_argument("--freq", type=float, default=None)
+    p.add_argument("--num-shots", type=int, default=None)
+    p.add_argument("--num-receivers", type=int, default=None)
+    p.add_argument("--water-rows", type=int, default=26)
+    p.add_argument("--unit", choices=("m/s", "km/s", "auto"),
+                   default="auto")
+    args = p.parse_args(argv)
+
+    m = read_velocity_grid(args.grid, bin_nz=args.bin_nz,
+                           bin_nx=args.bin_nx)
+    m = normalize_velocity(m, unit=args.unit)
+    m = resample_grid(m, args.nz, args.nx)
+    kw = {}
+    for k in ("dx", "nt", "dt", "freq"):
+        v = getattr(args, k)
+        if v is not None:
+            kw[k] = v
+    if args.num_shots is not None:
+        kw["num_shots"] = args.num_shots
+    if args.num_receivers is not None:
+        kw["num_receivers"] = args.num_receivers
+    kw["water_rows"] = args.water_rows
+    if args.physics == "acoustic":
+        prepare_acoustic_tree(m, args.out, **kw)
+    else:
+        prepare_elastic_tree(m, args.out, **kw)
+    print(f"wrote {args.physics} tree to {args.out} "
+          f"(grid {args.nz}x{args.nx})")
+
+
+if __name__ == "__main__":
+    main()

@@ -47,9 +47,14 @@ class ExperimentConfig:
     lstart: int = 0                    # physics kicks in after this epoch
     grad_scale: float = 1.0e5          # VJP scale (Auto22_model.py:300)
     misfit: str = "l1"
+    direct_wave: bool = True           # constant-model direct-arrival
+                                       # removal (networks.py:5396-5411)
+    validate_on_twin: bool = True      # held-out Test-twin validation
+                                       # (data/__init__.py:41-62)
     supervised_weight: float = 0.0     # model-MSE term weight
     anchor_weight: float = 0.0         # low-freq anchor (elastic: on)
     kl_weight: float = 0.0             # VAE
+    flow_weight: float = 1e-4          # invertible-latent NLL (AutoNF)
     latent_dim: int = 8
     filters: tuple = (16, 32, 64, 128)
     time_decimation: int = 4
@@ -109,6 +114,18 @@ register_workload("marmousi_acoustic_vae", ExperimentConfig(
     nz=151, nx=200, dx=10.0, nt=4001, dt=0.001, freq=8.0,
     num_shots=18, num_receivers=200, lr=0.01,
 ))
+# normalizing-flow decoder head (AutoNF, networks.py:13316-13624)
+register_workload("marmousi_acoustic_nf", ExperimentConfig(
+    engine="acoustic_dip", netG="AutoNF", flow_weight=1e-4,
+    nz=151, nx=200, dx=10.0, nt=4001, dt=0.001, freq=8.0,
+    num_shots=18, num_receivers=200, lr=0.01,
+))
+# planar-flow VAE (VaeNormalizingPhy, networks.py:16190)
+register_workload("marmousi_acoustic_vaeflow", ExperimentConfig(
+    engine="acoustic_dip", netG="VaeNormalizingPhy", kl_weight=1e-4,
+    nz=151, nx=200, dx=10.0, nt=4001, dt=0.001, freq=8.0,
+    num_shots=18, num_receivers=200, lr=0.01,
+))
 
 # --- BASELINE.json config 3: Marmousi elastic (Adam and L-BFGS) ----------
 _EL = ExperimentConfig(
@@ -160,3 +177,7 @@ register_workload("unet_ssim_baseline", ExperimentConfig(
     engine="supervised", netG="unet_128", dataset_mode="unalignedAC2",
     lr=2e-4, extras={"gan_mode": "none", "lambda_l1": 100.0,
                      "ssim_window": 5}))
+# Fourier-neural-operator supervised baseline (RUnet_FNO.py)
+register_workload("fno_baseline", ExperimentConfig(
+    engine="supervised", netG="FNO", dataset_mode="unaligned2",
+    lr=1e-3, extras={"gan_mode": "none", "lambda_l1": 1.0}))

@@ -41,11 +41,18 @@ from physicsbasedfwi2_tpu.ops.gradproc import (
 )
 from physicsbasedfwi2_tpu.optim.lbfgs import lbfgs_wolfe
 from physicsbasedfwi2_tpu.optim.sgmcmc import sgld, sghmc
+from physicsbasedfwi2_tpu.optim.schedules import (
+    make_scheduler, PlateauController,
+)
 
 
 def _make_optimizer(cfg: ExperimentConfig):
     if cfg.optimizer == "adam":
-        return optax.adam(cfg.lr, b1=cfg.beta1)
+        # inject_hyperparams so LrPolicy can steer the lr per epoch
+        # (the reference steps a torch scheduler every epoch,
+        # networks.py:79-106 + base_model.py:126-136)
+        return optax.inject_hyperparams(optax.adam)(
+            learning_rate=cfg.lr, b1=cfg.beta1)
     if cfg.optimizer == "lbfgs":
         return lbfgs_wolfe(memory_size=10)
     if cfg.optimizer == "sgld":
@@ -53,6 +60,45 @@ def _make_optimizer(cfg: ExperimentConfig):
     if cfg.optimizer == "sghmc":
         return sghmc(cfg.lr, seed=cfg.seed)
     raise ValueError(f"unknown optimizer {cfg.optimizer!r}")
+
+
+class LrPolicy:
+    """Host-side lr controller driving the injected Adam lr: wraps the
+    reference's get_scheduler policies (linear/step/cosine as
+    epoch-indexed schedules; plateau as the stateful
+    ReduceLROnPlateau)."""
+
+    def __init__(self, cfg: ExperimentConfig):
+        self.lr = cfg.lr
+        self.sched = None
+        self.plateau = None
+        pol = (cfg.lr_policy or "constant").lower()
+        if pol not in ("constant", "none", ""):
+            s = make_scheduler(pol, lr=cfg.lr, n_epochs=cfg.n_epochs,
+                               n_epochs_decay=cfg.n_epochs_decay)
+            if isinstance(s, PlateauController):
+                self.plateau = s
+            else:
+                self.sched = s
+
+    def lr_for_epoch(self, epoch: int) -> float:
+        if self.sched is not None:
+            self.lr = float(self.sched(epoch))
+        return self.lr
+
+    def after_epoch(self, metric: float) -> float:
+        if self.plateau is not None:
+            self.lr = float(self.plateau.step(metric))
+        return self.lr
+
+
+def _set_lr(opt_state, lr: float):
+    """Update the injected learning_rate on an
+    optax.inject_hyperparams state (no-op for other optimizers)."""
+    hp = getattr(opt_state, "hyperparams", None)
+    if hp is not None and "learning_rate" in hp:
+        hp["learning_rate"] = jnp.asarray(lr, jnp.float32)
+    return opt_state
 
 
 class EngineBase:
@@ -98,7 +144,8 @@ class AcousticDIPEngine(EngineBase):
     physics gradient across devices — the multi-chip path replacing
     the reference's Ray per-shot GPU fan-out."""
 
-    def __init__(self, cfg: ExperimentConfig, workload=None, mesh=None):
+    def __init__(self, cfg: ExperimentConfig, workload=None, mesh=None,
+                 val_workload=None):
         self.cfg = cfg
         self.mesh = mesh
         if workload is None and cfg.dataroot:
@@ -113,6 +160,52 @@ class AcousticDIPEngine(EngineBase):
             pml_width=cfg.pml_width, freq=cfg.freq,
             num_shots=cfg.num_shots, num_receivers=cfg.num_receivers,
             seed=cfg.seed, chunk=cfg.chunk)
+        # fused-path decision precedes any obs handling so the data
+        # the engine fits is generated by the SAME operator it inverts
+        # with (second-order sponge scheme vs 4th-order split-PML).
+        import numpy as _np
+        rcv_z_np = _np.asarray(self.wl.geom[2])
+        single_row = bool((rcv_z_np == rcv_z_np[:, :1]).all())
+        self._use_fused = (cfg.backend in ("pallas", "auto")
+                           and cfg.misfit == "l1" and mesh is None
+                           and single_row
+                           and jax.devices()[0].platform == "tpu")
+        if self._use_fused and not getattr(self.wl, "from_disk", False):
+            # synthetic workload: regenerate obs with the fused path's
+            # operator so the misfit is zero at the true model
+            from physicsbasedfwi2_tpu.ops.pallas_scalar2 import forward2
+            obs = forward2(self.wl.vp_true, self.wl.wavelet,
+                           *self.wl.geom, self.wl.cfg)
+            self.wl.obs = obs
+            self.wl.obs_norm = trace_normalize(obs)
+        # direct-wave (constant water-velocity model) simulated ONCE at
+        # setup with the operator of the chosen path
+        # (networks.py:5396-5411: receiver_amplitudes_cte)
+        self._direct = None
+        self._dir_rows = None
+        if cfg.direct_wave:
+            const = jnp.full_like(self.wl.vp_true, cfg.water_vel)
+            if self._use_fused:
+                from physicsbasedfwi2_tpu.ops.pallas_scalar2 import forward2
+                self._dir_rows = forward2(const, self.wl.wavelet,
+                                          *self.wl.geom, self.wl.cfg,
+                                          return_rows=True)
+                cols = (self.wl.geom[3]
+                        + self.wl.cfg.grid.pml_width).astype(jnp.int32)
+                dir_recs = jnp.take_along_axis(self._dir_rows,
+                                               cols[:, None, :], axis=2)
+            else:
+                self._direct = simulate_acoustic(
+                    const, self.wl.wavelet, *self.wl.geom, self.wl.cfg)
+                dir_recs = self._direct
+            if not getattr(self.wl, "from_disk", False):
+                # The reference normalizes the OBSERVED gathers raw
+                # (networks.py:5418) while subtracting the direct from
+                # pred (5467) — consistent only because its stored
+                # trainA data lacks the direct arrival.  Synthetic
+                # workloads mirror that storage convention here.
+                self.wl.obs = self.wl.obs - dir_recs
+                self.wl.obs_norm = trace_normalize(self.wl.obs)
         self.net = define_generator(
             cfg.netG, out_shape=(cfg.nz, cfg.nx), latent_dim=cfg.latent_dim,
             filters=cfg.filters, time_decimation=cfg.time_decimation,
@@ -121,21 +214,50 @@ class AcousticDIPEngine(EngineBase):
         # net input: [1, nt, nr, ns]
         self.shots_in = jnp.transpose(self.wl.obs, (1, 2, 0))[None]
         self.true_b = self.wl.vp_true[None, :, :, None]
+        # validation twin (the reference's create_dataset2 Test
+        # dataset, data/__init__.py:41-62): held-out sample, never the
+        # training sample
+        self.val_wl = val_workload
+        if self.val_wl is None and cfg.validate_on_twin:
+            self.val_wl = self._build_val_twin()
         rngs = {"params": jax.random.PRNGKey(cfg.seed)}
         if self.is_vae:
             rngs["latent"] = jax.random.PRNGKey(cfg.seed + 1)
         self.params = self.net.init(rngs, self.shots_in)
         self.opt = _make_optimizer(cfg)
         self.opt_state = self.opt.init(self.params)
+        self.lr_policy = LrPolicy(cfg) if cfg.optimizer == "adam" else None
         self._build_steps()
+
+    def _build_val_twin(self):
+        cfg = self.cfg
+        if cfg.dataroot:
+            import os as _os
+            if _os.path.isdir(_os.path.join(cfg.dataroot, "testA")):
+                from physicsbasedfwi2_tpu.data.synthetic import (
+                    acoustic_workload_from_disk)
+                return acoustic_workload_from_disk(
+                    cfg.dataroot, nz=cfg.nz, nx=cfg.nx, dx=cfg.dx,
+                    nt=cfg.nt, dt=cfg.dt, pml_width=cfg.pml_width,
+                    freq=cfg.freq, chunk=cfg.chunk, phase="test")
+            return None  # no twin on disk: fall back to train sample
+        return SyntheticAcousticWorkload.build(
+            nz=cfg.nz, nx=cfg.nx, dx=cfg.dx, nt=cfg.nt, dt=cfg.dt,
+            pml_width=cfg.pml_width, freq=cfg.freq,
+            num_shots=cfg.num_shots, num_receivers=cfg.num_receivers,
+            seed=cfg.seed + 101, chunk=cfg.chunk)
 
     # -- physics loss with reference-style gradient post-processing --
     def _physics_loss_raw(self, vp):
+        """Reference misfit pipeline (networks.py:5467-5476): subtract
+        the constant-model direct wave from pred, trace-normalize,
+        L1/L2 against the (raw-normalized) observed data."""
         cfg, wl = self.cfg, self.wl
         pred = simulate_acoustic(vp, wl.wavelet, *wl.geom, wl.cfg)
-        pred = trace_normalize(pred)
-        mis = l1_misfit if cfg.misfit == "l1" else l2_misfit
-        return mis(pred, wl.obs_norm)
+        from physicsbasedfwi2_tpu.ops.misfit import normalized_trace_misfit
+        return normalized_trace_misfit(pred, wl.obs_norm,
+                                       direct=self._direct,
+                                       kind=cfg.misfit)
 
     def _make_physics_loss(self):
         """custom_vjp wrapper reproducing the reference's processed
@@ -148,23 +270,19 @@ class AcousticDIPEngine(EngineBase):
         true_model = self.wl.vp_true
         mesh = self.mesh
         wl = self.wl
-
-        import numpy as _np
-        rcv_z_np = _np.asarray(wl.geom[2])
-        single_row = bool((rcv_z_np == rcv_z_np[:, :1]).all())
-        use_fused = (cfg.backend in ("pallas", "auto")
-                     and cfg.misfit == "l1" and mesh is None
-                     and single_row
-                     and jax.devices()[0].platform == "tpu")
+        use_fused = self._use_fused
         if use_fused:
-            # fused Pallas loss+grad kernel (fastest path); no
-            # direct-wave term in this engine -> zero dir_rows
             from physicsbasedfwi2_tpu.ops.pallas_fwi_fused import (
                 fwi_l1_loss_grad, scatter_rows)
             g = wl.cfg.grid
             obs_rows = scatter_rows(wl.obs_norm, wl.geom[3], nt=g.nt,
                                     nx=g.nx, pml_width=g.pml_width)
-            dir_rows = jnp.zeros_like(obs_rows)
+            if self._dir_rows is not None:
+                pad_t = obs_rows.shape[1] - self._dir_rows.shape[1]
+                dir_rows = jnp.pad(self._dir_rows,
+                                   ((0, 0), (0, pad_t), (0, 0)))
+            else:
+                dir_rows = jnp.zeros_like(obs_rows)
 
         def value_and_grad_physics(vp):
             if use_fused:
@@ -175,11 +293,15 @@ class AcousticDIPEngine(EngineBase):
             from physicsbasedfwi2_tpu.parallel import (
                 shot_sharded_acoustic_gradient, pad_shots_to_multiple)
             nd = mesh.shape["shot"]
-            (sz, sx, rz, rx, obs), mask = pad_shots_to_multiple(
-                [*wl.geom, wl.obs_norm], nd)
+            pad_list = [*wl.geom, wl.obs_norm]
+            if self._direct is not None:
+                pad_list.append(self._direct)
+            padded, mask = pad_shots_to_multiple(pad_list, nd)
+            sz, sx, rz, rx, obs = padded[:5]
+            direct = padded[5] if self._direct is not None else None
             return shot_sharded_acoustic_gradient(
                 mesh, vp, obs, wl.wavelet, sz, sx, rz, rx, wl.cfg,
-                misfit=cfg.misfit, shot_mask=mask)
+                misfit=cfg.misfit, shot_mask=mask, direct=direct)
 
         @jax.custom_vjp
         def physics_loss(vp):
@@ -197,25 +319,30 @@ class AcousticDIPEngine(EngineBase):
         physics_loss.defvjp(fwd, bwd)
         return physics_loss
 
-    def _apply_net(self, params, *, deterministic=True, rng=None):
-        if self.is_vae:
-            rngs = {"latent": rng} if rng is not None else None
-            out, mu, logvar, z = self.net.apply(
-                params, self.shots_in,
-                deterministic=deterministic and rng is None, rngs=rngs)
-            return out, z, (mu, logvar)
-        out, z = self.net.apply(params, self.shots_in,
-                                deterministic=deterministic)
-        return out, z, None
+    def _apply_net(self, params, *, deterministic=True, rng=None,
+                   shots_in=None):
+        """Apply the generator; returns a GenOut regardless of the
+        net family's raw tuple arity (models.pack_output)."""
+        from physicsbasedfwi2_tpu.models import apply_generator
+        x = self.shots_in if shots_in is None else shots_in
+        rngs = None
+        if rng is not None:
+            rngs = ({"latent": rng} if self.is_vae
+                    else {"dropout": rng})
+        det = deterministic and rng is None
+        return apply_generator(self.net, params, x,
+                               deterministic=det, rngs=rngs)
 
     def _build_steps(self):
         cfg = self.cfg
         physics_loss = self._make_physics_loss()
 
         def total_loss(params, use_physics, rng):
-            f01, latent, vae_aux = self._apply_net(
-                params, deterministic=cfg.dropout == 0, rng=rng)
-            vp = apply_velocity_output(f01, self.true_b,
+            out = self._apply_net(
+                params,
+                deterministic=cfg.dropout == 0 and not self.is_vae,
+                rng=rng if (cfg.dropout > 0 or self.is_vae) else None)
+            vp = apply_velocity_output(out.field, self.true_b,
                                        water_vel=cfg.water_vel)[0, :, :, 0]
             model_mse = jnp.mean((vp - self.wl.vp_true) ** 2)
             loss = jnp.where(use_physics, physics_loss(vp), 0.0)
@@ -224,9 +351,19 @@ class AcousticDIPEngine(EngineBase):
             elif not cfg.lstart == 0:
                 # warmup phase trains on the model-MSE oracle
                 loss = loss + jnp.where(use_physics, 0.0, model_mse)
-            if vae_aux is not None and cfg.kl_weight > 0:
-                mu, logvar = vae_aux
-                loss = loss + cfg.kl_weight * kl_divergence(mu, logvar)
+            if out.mu is not None and cfg.kl_weight > 0:
+                kl = kl_divergence(out.mu, out.logvar)
+                if out.logdet is not None:
+                    # flow-sharpened posterior: KL(q0||N) - E[logdet]
+                    # (VaeNormalizing ELBO, networks.py:15746-16190)
+                    kl = kl - jnp.mean(out.logdet)
+                loss = loss + cfg.kl_weight * kl
+            elif out.logdet is not None:
+                # invertible-latent NLL (AutoNF, networks.py:
+                # 13316-13624): 0.5||z||^2 - log|det J|
+                nll = (0.5 * jnp.mean(jnp.sum(out.latent ** 2, -1))
+                       - jnp.mean(out.logdet))
+                loss = loss + cfg.flow_weight * nll
             return loss, (model_mse, vp)
 
         @functools.partial(jax.jit, static_argnames=("use_physics",))
@@ -243,12 +380,24 @@ class AcousticDIPEngine(EngineBase):
             params = optax.apply_updates(params, updates)
             return params, opt_state, loss, model_mse
 
+        # validation on the held-out twin when available (the
+        # reference's create_dataset2 + compute_loss_only path,
+        # trainValLatent4dVel2.py:56-62); training sample otherwise
+        if self.val_wl is not None:
+            val_in = jnp.transpose(self.val_wl.obs, (1, 2, 0))[None]
+            val_true_b = self.val_wl.vp_true[None, :, :, None]
+            val_true = self.val_wl.vp_true
+        else:
+            val_in, val_true_b, val_true = (self.shots_in, self.true_b,
+                                            self.wl.vp_true)
+
         @jax.jit
         def eval_step(params):
-            f01, latent, _ = self._apply_net(params, deterministic=True)
-            vp = apply_velocity_output(f01, self.true_b,
+            out = self._apply_net(params, deterministic=True,
+                                  shots_in=val_in)
+            vp = apply_velocity_output(out.field, val_true_b,
                                        water_vel=cfg.water_vel)[0, :, :, 0]
-            return jnp.mean((vp - self.wl.vp_true) ** 2), vp
+            return jnp.mean((vp - val_true) ** 2), vp
 
         self._train_step = train_step
         self._eval_step = eval_step
@@ -259,10 +408,15 @@ class AcousticDIPEngine(EngineBase):
         Auto22_model.py:284-330)."""
         self._rng, sub = jax.random.split(self._rng)
         use_physics = epoch > self.cfg.lstart
+        if self.lr_policy is not None:
+            _set_lr(self.opt_state, self.lr_policy.lr_for_epoch(epoch))
         self.params, self.opt_state, loss, model_mse = self._train_step(
             self.params, self.opt_state, sub, use_physics)
-        return {"loss_D" if use_physics else "loss_M": float(loss),
-                "loss_M_MSE": float(model_mse)}
+        out = {"loss_D" if use_physics else "loss_M": float(loss),
+               "loss_M_MSE": float(model_mse)}
+        if self.lr_policy is not None:
+            out["lr"] = self.lr_policy.after_epoch(float(loss))
+        return out
 
     def test(self):
         """Validation (reference model.test + compute_loss_only)."""
@@ -317,6 +471,7 @@ class ElasticDIPEngine(EngineBase):
         self.delta_scale = (300.0, 200.0, 150.0)[: self.n_fields]
         self.clip_min = (1500.0, 0.0, 900.0)[: self.n_fields]
         self.clip_max = (4700.0, 2700.0, 3000.0)[: self.n_fields]
+        self.lr_policy = LrPolicy(cfg) if cfg.optimizer == "adam" else None
         self._rng = jax.random.PRNGKey(cfg.seed + 7)
         self._step_cache = {}
 
@@ -420,10 +575,15 @@ class ElasticDIPEngine(EngineBase):
         self._rng, s1, s2 = jax.random.split(self._rng, 3)
         # random shot subset per iteration (AutoElMar22_model.py:512)
         idx = jax.random.permutation(s1, cfg.num_shots)[:nsub]
+        if self.lr_policy is not None:
+            _set_lr(self.opt_state, self.lr_policy.lr_for_epoch(epoch))
         step = self._get_step(fc)
         self.params, self.opt_state, loss, loss_d, mse = step(
             self.params, self.opt_state, idx, s2)
-        return {"loss_D_MSE": float(loss_d), "loss_M_MSE": float(mse)}
+        out = {"loss_D_MSE": float(loss_d), "loss_M_MSE": float(mse)}
+        if self.lr_policy is not None:
+            out["lr"] = self.lr_policy.after_epoch(float(loss_d))
+        return out
 
     def test(self, *, rng=None):
         det = rng is None
@@ -465,6 +625,7 @@ class ClassicFWIEngine(EngineBase):
     def __init__(self, cfg: ExperimentConfig, workload=None):
         self.cfg = cfg
         self.is_elastic = cfg.dataset_mode.lower().endswith("el")
+        self.lr_policy = LrPolicy(cfg) if cfg.optimizer == "adam" else None
         if self.is_elastic:
             self._init_elastic(workload)
         else:
@@ -566,6 +727,8 @@ class ClassicFWIEngine(EngineBase):
         self._rng = jax.random.PRNGKey(cfg.seed + 11)
 
     def optimize_parameters(self, epoch: int, freq: float | None = None):
+        if self.lr_policy is not None:
+            _set_lr(self.opt_state, self.lr_policy.lr_for_epoch(epoch))
         if self.is_elastic:
             self._rng, sub = jax.random.split(self._rng)
             idx = jax.random.permutation(
@@ -575,11 +738,15 @@ class ClassicFWIEngine(EngineBase):
             mse = float(
                 jnp.mean((self.params["vp"] - self.wl.true["vp"]) ** 2)
                 + jnp.mean((self.params["vs"] - self.wl.true["vs"]) ** 2))
-            return {"loss_D_MSE": float(loss), "loss_M_MSE": mse}
-        self.params, self.opt_state, loss = self._train_step(
-            self.params, self.opt_state)
-        mse = float(jnp.mean((self.params["vp"] - self.wl.vp_true) ** 2))
-        return {"loss_D_MSE": float(loss), "loss_M_MSE": mse}
+        else:
+            self.params, self.opt_state, loss = self._train_step(
+                self.params, self.opt_state)
+            mse = float(jnp.mean((self.params["vp"]
+                                  - self.wl.vp_true) ** 2))
+        out = {"loss_D_MSE": float(loss), "loss_M_MSE": mse}
+        if self.lr_policy is not None:
+            out["lr"] = self.lr_policy.after_epoch(float(loss))
+        return out
 
     def test(self):
         if self.is_elastic:
@@ -620,8 +787,9 @@ class LatentInversionEngine(EngineBase):
                               "latent": jax.random.PRNGKey(1)}, shots_in)
         self.decoder_params = decoder_params or full
         self.z = jnp.zeros((1, cfg.latent_dim))
-        self.opt = optax.adam(cfg.lr)
+        self.opt = _make_optimizer(cfg)
         self.opt_state = self.opt.init(self.z)
+        self.lr_policy = LrPolicy(cfg) if cfg.optimizer == "adam" else None
         wl, ccfg = self.wl, cfg
 
         def loss_fn(z):
@@ -642,10 +810,15 @@ class LatentInversionEngine(EngineBase):
         self._train_step = train_step
 
     def optimize_parameters(self, epoch: int):
+        if self.lr_policy is not None:
+            _set_lr(self.opt_state, self.lr_policy.lr_for_epoch(epoch))
         self.z, self.opt_state, loss, vp = self._train_step(
             self.z, self.opt_state)
         mse = float(jnp.mean((vp - self.wl.vp_true) ** 2))
-        return {"loss_D_MSE": float(loss), "loss_M_MSE": mse}
+        out = {"loss_D_MSE": float(loss), "loss_M_MSE": mse}
+        if self.lr_policy is not None:
+            out["lr"] = self.lr_policy.after_epoch(float(loss))
+        return out
 
     def test(self):
         f01 = self.net.apply(self.decoder_params, self.z,
@@ -679,8 +852,10 @@ class SupervisedEngine(EngineBase):
                                     filters=(16, 32, 64))
         x = jnp.zeros((1, *in_shape, in_channels))
         self.params = self.net.init(jax.random.PRNGKey(cfg.seed), x)
-        self.opt = optax.adam(cfg.lr, b1=cfg.beta1)
+        self.opt = _make_optimizer(cfg)
         self.opt_state = self.opt.init(self.params)
+        self.lr_policy = LrPolicy(cfg)
+        self._epoch = 0
         self.use_gan = self.gan_mode != "none"
         if self.use_gan:
             self.disc = define_discriminator("n_layers", base=32,
@@ -735,11 +910,13 @@ class SupervisedEngine(EngineBase):
 
             self._d_step = d_step
 
-    def optimize_parameters(self, a, b):
+    def optimize_parameters(self, a, b, epoch: int | None = None):
+        self._epoch = epoch if epoch is not None else self._epoch + 1
+        _set_lr(self.opt_state, self.lr_policy.lr_for_epoch(self._epoch))
         d_params = self.d_params if self.use_gan else None
         self.params, self.opt_state, gl, fake = self._g_step(
             self.params, self.opt_state, d_params, a, b)
-        out = {"loss_G": float(gl)}
+        out = {"loss_G": float(gl), "lr": self.lr_policy.lr}
         if self.use_gan:
             self.d_params, self.d_opt_state, dl = self._d_step(
                 self.d_params, self.d_opt_state, a, b,

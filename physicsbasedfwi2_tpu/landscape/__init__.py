@@ -9,6 +9,7 @@ estimation via Hessian-vector products, and trajectory PCA.
 
 from physicsbasedfwi2_tpu.landscape.surface import (
     filter_normalized_direction, perturb_params, loss_surface_2d,
+    loss_surface_2d_sharded,
 )
 from physicsbasedfwi2_tpu.landscape.hessian import (
     hvp, lanczos_extreme_eigs,
@@ -19,6 +20,7 @@ __all__ = [
     "filter_normalized_direction",
     "perturb_params",
     "loss_surface_2d",
+    "loss_surface_2d_sharded",
     "hvp",
     "lanczos_extreme_eigs",
     "trajectory_pca",

@@ -4,8 +4,9 @@ Reference: loss_landscape/net_plotter.py (get_weights/set_weights/
 setup_direction — filter-wise normalized random directions) and
 plot_surface2.py:156-229 (``crunch2``: rank-partitioned (x, y) grid,
 each point evaluating the full physics data-misfit).  Here the grid
-sweep is a jit-batched scan (single chip) or a `shard_map` over the
-mesh (multi-chip), replacing mpi4py.
+sweep is a jit-batched vmap (:func:`loss_surface_2d`, single chip) or
+a shard_map over the mesh (:func:`loss_surface_2d_sharded`,
+multi-chip), replacing mpi4py.
 """
 
 from __future__ import annotations
@@ -86,4 +87,47 @@ def loss_surface_2d(loss_fn, params, *, key=None, d1=None, d2=None,
     for s in range(0, n + pad, batch):
         losses.append(np.asarray(eval_batch(coords_p[s : s + batch])))
     flat = np.concatenate(losses)[:n]
+    return flat.reshape(len(ys), len(xs)), d1, d2
+
+
+def loss_surface_2d_sharded(loss_fn, params, mesh, *, key=None,
+                            d1=None, d2=None, xs=None, ys=None,
+                            norm: str = "filter", axis: str = "shot"):
+    """Multi-chip grid sweep: grid points sharded over the mesh, each
+    device evaluating its slice — the mpi4py rank-partitioned crunch2
+    (plot_surface2.py:156-229 + scheduler.get_job_indices) as one
+    shard_map with an all_gather, no MPI."""
+    import functools
+    from jax.sharding import PartitionSpec as P
+    from jax import shard_map
+
+    if xs is None:
+        xs = np.linspace(-1, 1, 21)
+    if ys is None:
+        ys = np.linspace(-1, 1, 21)
+    if d1 is None or d2 is None:
+        key = key if key is not None else jax.random.PRNGKey(0)
+        k1, k2 = jax.random.split(key)
+        d1 = filter_normalized_direction(params, k1, norm=norm)
+        d2 = filter_normalized_direction(params, k2, norm=norm)
+
+    gx, gy = np.meshgrid(xs, ys)
+    coords = np.stack([gx.ravel(), gy.ravel()], 1).astype(np.float32)
+    n = coords.shape[0]
+    ndev = mesh.shape[axis]
+    pad = (-n) % ndev
+    coords_p = jnp.asarray(np.pad(coords, ((0, pad), (0, 0))))
+
+    @jax.jit
+    @functools.partial(
+        shard_map, mesh=mesh, in_specs=P(axis), out_specs=P(),
+        check_vma=False)
+    def sweep(cb):
+        def one(c):
+            p = perturb_params(params, d1, d2, c[0], c[1])
+            return loss_fn(p)
+        local = jax.lax.map(one, cb)
+        return jax.lax.all_gather(local, axis, tiled=True)
+
+    flat = np.asarray(sweep(coords_p))[:n]
     return flat.reshape(len(ys), len(xs)), d1, d2

@@ -11,7 +11,7 @@ the same module parameterized by the workload config.
 
 from __future__ import annotations
 
-from typing import Any
+from typing import Any, NamedTuple
 
 from physicsbasedfwi2_tpu.models.autoencoders import (
     AutoEncoderNet,
@@ -21,7 +21,9 @@ from physicsbasedfwi2_tpu.models.autoencoders import (
     apply_velocity_output,
     apply_elastic_output,
 )
-from physicsbasedfwi2_tpu.models.vae import VaeNet, ModelVae, kl_divergence
+from physicsbasedfwi2_tpu.models.vae import (
+    VaeNet, VaeFlowNet, ModelVae, kl_divergence,
+)
 from physicsbasedfwi2_tpu.models.unets import (UNet, ASPPUNet, ResUNetPlusPlus, UNet3Plus, MultiScaleUNet, R2UNet)
 from physicsbasedfwi2_tpu.models.gan import (
     ResnetGenerator,
@@ -94,12 +96,55 @@ for _n in ["Vae", "Vae2", "Vae3", "VaeLatentNoPhy", "VaeLatent2NoPhy"]:
     register_generator(_n, VaeNet)
 for _n in ["VaeNoPhy", "Vaevel"]:
     register_generator(_n, ModelVae)
+# planar-flow VAEs (networks.py:15835 VaeNormalizing_Net, 16190 Phy)
+for _n in ["VaeNormalizing", "VaeNormalizingPhy"]:
+    register_generator(_n, VaeFlowNet)
 
 # --- flows / FNO / GAN generators ---
 register_generator("AutoNF", FlowAutoEncoderNet)
 register_generator("FNO", FNO2d)
 register_generator("resnet_9blocks", ResnetGenerator, n_blocks=9)
 register_generator("resnet_6blocks", ResnetGenerator, n_blocks=6)
+
+
+class GenOut(NamedTuple):
+    """Standard generator output: every registry net's raw return is
+    normalized into this, so engines can't silently mismatch on tuple
+    arity (the round-1 AutoNF failure mode).
+
+    field: [B, H, W, C] main output; latent: bottleneck (or None);
+    mu/logvar: VAE posterior stats; logdet: flow log|det J|."""
+
+    field: Any
+    latent: Any = None
+    mu: Any = None
+    logvar: Any = None
+    logdet: Any = None
+
+
+def pack_output(out) -> GenOut:
+    """Map a generator's raw return to GenOut by arity:
+    (field, latent) | (field, latent, logdet) |
+    (field, mu, logvar, z) | (field, mu, logvar, z, logdet)."""
+    if not isinstance(out, tuple):
+        return GenOut(out)
+    if len(out) == 2:
+        return GenOut(out[0], out[1])
+    if len(out) == 3:
+        return GenOut(out[0], out[1], logdet=out[2])
+    if len(out) == 4:
+        return GenOut(out[0], out[3], mu=out[1], logvar=out[2])
+    if len(out) == 5:
+        return GenOut(out[0], out[3], mu=out[1], logvar=out[2],
+                      logdet=out[4])
+    raise TypeError(f"unrecognized generator output arity {len(out)}")
+
+
+def apply_generator(net, params, *inputs, deterministic: bool = True,
+                    rngs=None) -> GenOut:
+    """Apply any registry generator and get a GenOut."""
+    return pack_output(net.apply(params, *inputs,
+                                 deterministic=deterministic, rngs=rngs))
 
 
 def define_discriminator(kind: str = "n_layers", **kwargs):
@@ -115,6 +160,10 @@ __all__ = [
     "define_generator",
     "define_discriminator",
     "register_generator",
+    "GenOut",
+    "pack_output",
+    "apply_generator",
+    "VaeFlowNet",
     "AutoEncoderNet",
     "FlowAutoEncoderNet",
     "ElasticAutoEncoderNet",

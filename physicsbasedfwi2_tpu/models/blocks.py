@@ -109,6 +109,19 @@ def match_spatial(x: jnp.ndarray, h: int, w: int) -> jnp.ndarray:
     return x
 
 
+def fit_to_shape(x: jnp.ndarray, out_shape) -> jnp.ndarray:
+    """Map a decoder tensor to the model grid: bilinear-upscale any
+    dimension that is too small (e.g. few-receiver inputs), then crop.
+    The UnetMarmousi22_Net seismic->velocity output stage
+    (networks.py:5513-5681)."""
+    b, h, w, c = x.shape
+    nz, nx = out_shape
+    if h < nz or w < nx:
+        x = jax.image.resize(x, (b, max(h, nz), max(w, nx), c),
+                             method="bilinear")
+    return x[:, :nz, :nx, :]
+
+
 class UpCat(nn.Module):
     """U-Net decoder stage: upsample, pad/crop-match to the skip,
     concat, conv (ref unetUp, networks.py:2315).  The decoder tensor

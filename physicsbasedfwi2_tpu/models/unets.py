@@ -15,7 +15,7 @@ from flax import linen as nn
 
 from physicsbasedfwi2_tpu.models.blocks import (
     ASPP, CBAM, ConvBlock, Down, ResidualConv, SqueezeExcite, Up, UpCat,
-    match_spatial, num_groups_for, resize_2x,
+    fit_to_shape, match_spatial, num_groups_for, resize_2x,
 )
 
 
@@ -50,13 +50,7 @@ class UNet(nn.Module):
                 skip = CBAM()(skip)
             x = UpCat(f, self.norm)(x, skip, deterministic=deterministic)
         if self.out_shape is not None:
-            b, h, w, c = x.shape
-            nz, nx = self.out_shape
-            if h < nz or w < nx:
-                import jax
-                x = jax.image.resize(x, (b, max(h, nz), max(w, nx), c),
-                                     method="bilinear")
-            x = x[:, : nz, : nx, :]
+            x = fit_to_shape(x, self.out_shape)
         x = nn.Conv(self.out_channels, (1, 1))(x)
         if self.final_activation == "sigmoid":
             x = nn.sigmoid(x)
@@ -85,7 +79,7 @@ class ASPPUNet(nn.Module):
         for f, skip in zip(reversed(self.filters), reversed(skips)):
             x = UpCat(f, self.norm)(x, skip, deterministic=deterministic)
         if self.out_shape is not None:
-            x = x[:, : self.out_shape[0], : self.out_shape[1], :]
+            x = fit_to_shape(x, self.out_shape)
         x = nn.Conv(self.out_channels, (1, 1))(x)
         return nn.sigmoid(x), None
 
@@ -113,13 +107,7 @@ class ResUNetPlusPlus(nn.Module):
             x = jnp.concatenate([skip, x], axis=-1)
             x = ResidualConv(f)(x)
         if self.out_shape is not None:
-            import jax
-            b, h, w, c = x.shape
-            nz, nx = self.out_shape
-            if h < nz or w < nx:
-                x = jax.image.resize(x, (b, max(h, nz), max(w, nx), c),
-                                     method="bilinear")
-            x = x[:, : nz, : nx, :]
+            x = fit_to_shape(x, self.out_shape)
         x = nn.Conv(self.out_channels, (1, 1))(x)
         return nn.sigmoid(x), None
 
@@ -169,13 +157,7 @@ class UNet3Plus(nn.Module):
                 cat, deterministic=deterministic)
         out = dec
         if self.out_shape is not None:
-            import jax
-            b, hh, ww, c = out.shape
-            nz, nx = self.out_shape
-            if hh < nz or ww < nx:
-                out = jax.image.resize(out, (b, max(hh, nz), max(ww, nx), c),
-                                       "bilinear")
-            out = out[:, : nz, : nx, :]
+            out = fit_to_shape(out, self.out_shape)
         out = nn.Conv(self.out_channels, (1, 1))(out)
         return nn.sigmoid(out), None
 
@@ -211,7 +193,7 @@ class MultiScaleUNet(nn.Module):
         for f, skip in zip(reversed(self.filters), reversed(skips)):
             h = UpCat(f, self.norm)(h, skip, deterministic=deterministic)
         if self.out_shape is not None:
-            h = h[:, : self.out_shape[0], : self.out_shape[1], :]
+            h = fit_to_shape(h, self.out_shape)
         h = nn.Conv(self.out_channels, (1, 1))(h)
         return nn.sigmoid(h), None
 
@@ -261,6 +243,6 @@ class R2UNet(nn.Module):
                 skip = CBAM()(skip)
             x = UpCat(f)(x, skip, deterministic=deterministic)
         if self.out_shape is not None:
-            x = x[:, : self.out_shape[0], : self.out_shape[1], :]
+            x = fit_to_shape(x, self.out_shape)
         x = nn.Conv(self.out_channels, (1, 1))(x)
         return nn.sigmoid(x), None

@@ -92,6 +92,50 @@ class ModelVae(nn.Module):
         return out, mu, logvar, z
 
 
+class VaeFlowNet(nn.Module):
+    """VAE whose posterior is sharpened by planar flows — the
+    VaeNormalizing / VaeNormalizingPhy capability (networks.py:
+    15746-16190: Flow/NormalizingFlow/PlanarFlow over the latent).
+
+    Returns (field01, mu, logvar, z_k, logdet): z0 is the
+    reparameterized sample, z_k = flow(z0), and the ELBO's KL term
+    becomes KL(q0 || N(0,1)) - E[logdet]."""
+
+    out_shape: tuple[int, int]
+    out_channels: int = 1
+    latent_dim: int = 8
+    filters: Sequence[int] = (16, 32, 64, 128)
+    time_decimation: int = 4
+    n_flows: int = 8
+    norm: str = "group"
+
+    def setup(self):
+        from physicsbasedfwi2_tpu.models.flows import PlanarFlowStack
+        self.encoder = Encoder2D(2 * self.latent_dim, self.filters,
+                                 self.time_decimation, self.norm)
+        self.flows = PlanarFlowStack(self.n_flows)
+        self.decoder = Decoder2D(self.out_shape, self.out_channels,
+                                 self.filters, norm=self.norm)
+
+    def __call__(self, shots, *, deterministic: bool = True,
+                 rng_key=None):
+        h = self.encoder(shots, deterministic=deterministic)
+        mu, logvar = jnp.split(h, 2, axis=-1)
+        if deterministic:
+            z0 = mu
+        else:
+            if rng_key is None:
+                rng_key = self.make_rng("latent")
+            z0 = mu + jnp.exp(0.5 * logvar) * jax.random.normal(
+                rng_key, mu.shape)
+        z_k, logdet = self.flows(z0)
+        out = self.decoder(z_k, deterministic=deterministic)
+        return out, mu, logvar, z_k, logdet
+
+    def decode(self, z, *, deterministic: bool = True):
+        return self.decoder(z, deterministic=deterministic)
+
+
 def kl_divergence(mu: jnp.ndarray, logvar: jnp.ndarray) -> jnp.ndarray:
     """Standard-normal KL (ref Vae2_model.py:223-224)."""
     return jnp.mean(-0.5 * jnp.sum(1 + logvar - mu ** 2 - jnp.exp(logvar),

@@ -23,9 +23,11 @@ to receiver columns), m_c = max_t |y_tc|:
     loss = inv_count * sum_{t,c} |y_tc/(m_c+eps) - obs_tc| * mask_c
 VJP through yn = y/(m+eps):
     g    = sign(yn - obs) * mask * inv_count
-    ybar = g/(m+eps) - star/(m+eps) * ssign * S,
-    star = 1[|y| == m]/cnt,  ssign = mean sign at ties,
-    S    = sum_t g yn.
+    ybar = g/(m+eps) - star_t sign(y_t)/(m+eps) * S / cnt,
+    star = 1[|y| == m],  cnt = #ties,
+    S    = sum_t g yn
+(each tied sample carries its own sign / cnt — jnp.max's exact
+subgradient through max|.|).
 """
 
 from __future__ import annotations
@@ -125,18 +127,13 @@ def _kernel(src_z, src_x, rcv_row, wav_sm, rcv_x_sm,
                           jnp.zeros((1, nxp), jnp.float32))
     inv_m = 1.0 / (m + EPS)
 
-    def tie_sweep(c, carry):
-        cnt, ssign = carry
+    def tie_sweep(c, cnt):
         yk = hist[pl.ds(c * KC, KC), :]
         eq = (jnp.abs(yk) == m).astype(jnp.float32)
-        return (cnt + jnp.sum(eq, axis=0, keepdims=True),
-                ssign + jnp.sum(jnp.sign(yk) * eq, axis=0,
-                                keepdims=True))
+        return cnt + jnp.sum(eq, axis=0, keepdims=True)
 
-    cnt, ssign = jax.lax.fori_loop(
-        0, n_ck, tie_sweep,
-        (jnp.zeros((1, nxp), jnp.float32),
-         jnp.zeros((1, nxp), jnp.float32)))
+    cnt = jax.lax.fori_loop(0, n_ck, tie_sweep,
+                            jnp.zeros((1, nxp), jnp.float32))
     inv_cnt = 1.0 / jnp.maximum(cnt, 1.0)
 
     def loss_sweep(c, carry):
@@ -156,7 +153,7 @@ def _kernel(src_z, src_x, rcv_row, wav_sm, rcv_x_sm,
     loss_raw, S = jax.lax.fori_loop(
         0, n_ck, loss_sweep,
         (0.0, jnp.zeros((1, nxp), jnp.float32)))
-    corr = ssign * inv_cnt * S * inv_m  # [1, nxp]
+    corr = inv_cnt * S * inv_m  # [1, nxp]
 
     def ybar_sweep(c, _):
         t0 = c * KC
@@ -167,8 +164,10 @@ def _kernel(src_z, src_x, rcv_row, wav_sm, rcv_x_sm,
         yk = hist[pl.ds(t0, KC), :]
         yn = yk * inv_m
         g = jnp.sign((yn - chunk_io[:]) * rmask) * inv_count
+        # jnp.max subgradient: each tied sample gets its OWN sign
+        # times 1/cnt (not the tie-summed sign — ADVICE r1)
         star = (jnp.abs(yk) == m).astype(jnp.float32)
-        hist[pl.ds(t0, KC), :] = g * inv_m - star * corr
+        hist[pl.ds(t0, KC), :] = g * inv_m - star * jnp.sign(yk) * corr
         return 0
 
     jax.lax.fori_loop(0, n_ck, ybar_sweep, 0)

@@ -262,7 +262,12 @@ def _vmem_spec(nz8, nx128):
 
 
 def forward2(vp, wavelet, src_z, src_x, rcv_z, rcv_x,
-             cfg: AcousticConfig):
+             cfg: AcousticConfig, *, return_rows: bool = False):
+    """Second-order-scheme forward.  With ``return_rows`` the full
+    receiver-row history [ns, nt, nx128] is returned instead of the
+    gathered traces — the layout the fused kernel's dir_rows/obs_rows
+    operands use (so direct-wave rows come from the SAME operator as
+    the fused prediction)."""
     g = cfg.grid
     ns = int(src_z.shape[0])
     (K2d, dp, dm, nz8, nx128, wav, src_z_p, src_x_p,
@@ -284,6 +289,8 @@ def forward2(vp, wavelet, src_z, src_x, rcv_z, rcv_x,
         kern, grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((ns, g.nt, nx128), jnp.float32),
     )(src_z_p, src_x_p, rcv_row, wav, K2d, dp, dm)
+    if return_rows:
+        return hist
     cols = (rcv_x + g.pml_width).astype(jnp.int32)
     return jnp.take_along_axis(hist, cols[:, None, :], axis=2)
 

@@ -67,9 +67,20 @@ def simulate_acoustic_dd(vp, wavelet, src_z, src_x, rcv_z, rcv_x,
     """Single-shot-at-a-time domain-decomposed simulation.
 
     Contract matches :func:`simulate_acoustic` (src/rcv index arrays,
-    [ns, nt, nr] output); the padded grid's x-axis is sharded over
-    ``mesh`` (lateral width must be divisible by the mesh size).
+    [ns, nt, nr] output) with ONE restriction: all receivers of a
+    shot must sit on a single depth row (rcv_z[s, :] constant) — the
+    kernel records one row history per shot.  The padded grid's
+    x-axis is sharded over ``mesh`` (lateral width must be divisible
+    by the mesh size).
     """
+    import numpy as _np
+    rz = _np.asarray(rcv_z)
+    if not (rz == rz[:, :1]).all():
+        raise ValueError(
+            "simulate_acoustic_dd records a single receiver-depth row "
+            "per shot; rcv_z must be constant within each shot "
+            "(varying-depth geometries would silently return traces "
+            "from the wrong cells)")
     g = cfg.grid
     vp_pad = _pad_model(vp.astype(jnp.float32), g)
     kappa_dt = vp_pad * vp_pad * g.dt

@@ -44,11 +44,14 @@ def shot_sharded_acoustic_gradient(mesh: Mesh, vp, obs_norm, wavelet,
                                    cfg: AcousticConfig, *,
                                    misfit: str = "l2",
                                    shot_mask=None,
-                                   axis: str = "shot"):
+                                   axis: str = "shot",
+                                   direct=None):
     """(loss, dJ/dvp) with shots sharded across the mesh.
 
     obs_norm: [ns, nt, nr] trace-normalized observed data.
     shot_mask: optional [ns] 0/1 weights (for padded shots).
+    direct: optional [ns, nt, nr] constant-model direct-wave traces
+        subtracted from pred BEFORE normalization (networks.py:5467).
     The predicted data is trace-normalized per shot locally (each
     shot's normalization is independent, so sharding is exact).
     """
@@ -56,17 +59,20 @@ def shot_sharded_acoustic_gradient(mesh: Mesh, vp, obs_norm, wavelet,
     if shot_mask is None:
         shot_mask = jnp.ones((ns,), jnp.float32)
     denom = jnp.sum(shot_mask) * obs_norm.shape[1] * obs_norm.shape[2]
+    if direct is None:
+        direct = jnp.zeros_like(obs_norm)
 
     @jax.jit
     @functools.partial(
         shard_map, mesh=mesh,
         in_specs=(P(), P(axis), P(axis), P(axis), P(axis), P(axis), P(),
-                  P(axis)),
+                  P(axis), P(axis)),
         out_specs=(P(), P()),
         check_vma=False)
-    def _grad(vp, obs, sz, sx, rz, rx, wav, mask):
+    def _grad(vp, obs, sz, sx, rz, rx, wav, mask, dirw):
         def local_loss(v):
             pred = simulate_acoustic(v, wav, sz, sx, rz, rx, cfg)
+            pred = pred - dirw
             m = jnp.max(jnp.abs(pred), axis=1, keepdims=True)
             pred = pred / (m + 1e-10)
             r = pred - obs
@@ -77,7 +83,7 @@ def shot_sharded_acoustic_gradient(mesh: Mesh, vp, obs_norm, wavelet,
         return lax.psum(loss, axis), lax.psum(g, axis)
 
     loss, g = _grad(vp, obs_norm, src_z, src_x, rcv_z, rcv_x, wavelet,
-                    shot_mask)
+                    shot_mask, direct)
     return loss / denom, g / denom
 
 

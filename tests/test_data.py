@@ -90,3 +90,108 @@ def test_flip_augmentation(npy_tree):
                       np.allclose(b_f["B"][i], b_plain["B"][i][..., ::-1]))
                 assert ok
     assert flipped_any
+
+
+def test_prep_grid_readers(tmp_path):
+    """SEG-Y (IBM + IEEE), flat .bin and .npy grid ingestion all
+    recover the same model (the reference datasets/ prep role)."""
+    import struct
+    import numpy as np
+    from physicsbasedfwi2_tpu.data.prep import (
+        read_velocity_grid, read_segy_grid, _ibm32_to_float,
+        normalize_velocity, resample_grid)
+
+    nz, nx = 30, 20
+    rng = np.random.default_rng(0)
+    m = rng.uniform(1500.0, 4000.0, (nz, nx)).astype(np.float32)
+
+    # .npy
+    p_npy = tmp_path / "m.npy"
+    np.save(p_npy, m)
+    np.testing.assert_array_equal(read_velocity_grid(str(p_npy)), m)
+
+    # .bin
+    p_bin = tmp_path / "m.bin"
+    m.tofile(p_bin)
+    np.testing.assert_array_equal(
+        read_velocity_grid(str(p_bin), bin_nz=nz, bin_nx=nx), m)
+
+    # SEG-Y IEEE (format 5): traces are depth columns
+    def write_segy(path, fmt, payload):
+        with open(path, "wb") as f:
+            f.write(b"\x00" * 3200)
+            hdr = bytearray(400)
+            hdr[20:22] = struct.pack(">H", nz)   # samples per trace
+            hdr[24:26] = struct.pack(">H", fmt)  # sample format
+            f.write(bytes(hdr))
+            for j in range(nx):
+                f.write(b"\x00" * 240)
+                f.write(payload(m[:, j]))
+
+    p_sgy = tmp_path / "m_ieee.segy"
+    write_segy(p_sgy, 5, lambda col: col.astype(">f4").tobytes())
+    got = read_segy_grid(str(p_sgy))
+    np.testing.assert_allclose(got, m, rtol=1e-6)
+
+    # SEG-Y IBM (format 1): encode IEEE->IBM then read back
+    def ieee_to_ibm(x):
+        out = np.zeros(x.shape, np.uint32)
+        sign = (x < 0).astype(np.uint32) << 31
+        ax = np.abs(x).astype(np.float64)
+        exp = np.ceil(np.log2(np.maximum(ax, 1e-30)) / 4.0).astype(int)
+        mant = ax / np.power(16.0, exp)
+        # normalize mantissa into [1/16, 1)
+        fix = mant >= 1.0
+        exp = exp + fix
+        mant = np.where(fix, mant / 16.0, mant)
+        out = sign | ((exp + 64).astype(np.uint32) << 24) | (
+            (mant * (1 << 24)).astype(np.uint32))
+        return out
+
+    p_ibm = tmp_path / "m_ibm.segy"
+    write_segy(p_ibm, 1,
+               lambda col: ieee_to_ibm(col).astype(">u4").tobytes())
+    got_ibm = read_segy_grid(str(p_ibm))
+    np.testing.assert_allclose(got_ibm, m, rtol=1e-5)
+    # decoder unit check on known value: 1.0 = 16^1 * 0.0625
+    one = np.uint32((65 << 24) | (1 << 20))
+    assert _ibm32_to_float(np.asarray([one]))[0] == 1.0
+
+    # unit + resample helpers
+    kms = normalize_velocity(m / 1000.0, unit="auto")
+    np.testing.assert_allclose(kms, np.clip(m, 1400, 5000), rtol=1e-5)
+    r = resample_grid(m, 15, 10)
+    assert r.shape == (15, 10)
+
+
+def test_prep_acoustic_tree_trains_engine(tmp_path):
+    """fwi-prep output (with its test twin) trains the acoustic
+    engine straight from the dataroot (VERDICT r1 #9)."""
+    import numpy as np
+    from physicsbasedfwi2_tpu.data.prep import prepare_acoustic_tree
+    from physicsbasedfwi2_tpu.engine import get_workload, create_engine
+
+    nz, nx = 40, 48
+    rng = np.random.default_rng(1)
+    vp = np.linspace(1500, 3500, nz)[:, None] * np.ones((1, nx))
+    vp = (vp + rng.normal(0, 30, (nz, nx))).astype(np.float32)
+    vp[:6] = 1500.0
+    root = str(tmp_path / "marm")
+    prepare_acoustic_tree(vp, root, dx=10.0, nt=400, dt=0.001,
+                          freq=10.0, num_shots=4, num_receivers=24,
+                          pml_width=12, water_rows=6, chunk=25)
+    import os
+    assert os.path.exists(os.path.join(root, "trainA", "0.npy"))
+    assert os.path.exists(os.path.join(root, "testA", "0.npy"))
+    cfg = get_workload("marmousi_acoustic").replace(
+        name="t_prep", save_dir="/tmp/fwi_test_ck", dataroot=root,
+        nz=nz, nx=nx, nt=400, dt=0.001, num_shots=4, num_receivers=24,
+        filters=(4, 8, 16), chunk=25, pml_width=12, water_rows=6,
+        direct_wave=False)
+    eng = create_engine(cfg)
+    # validation twin comes from the prepared test phase
+    assert eng.val_wl is not None
+    assert not np.allclose(np.asarray(eng.val_wl.vp_true),
+                           np.asarray(eng.wl.vp_true))
+    r = eng.optimize_parameters(1)
+    assert np.isfinite(r["loss_D"])

@@ -58,3 +58,28 @@ def test_trajectory_pca():
     coords, explained, comps = trajectory_pca(traj)
     assert coords.shape == (5, 2)
     assert explained[0] > 0.99  # 1D trajectory
+
+
+def test_loss_surface_sharded_matches_single():
+    """Multi-chip sweep (the mpi4py crunch2 replacement) equals the
+    single-chip vmap sweep."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from physicsbasedfwi2_tpu.landscape import (
+        loss_surface_2d, loss_surface_2d_sharded)
+    from physicsbasedfwi2_tpu.parallel import make_mesh
+
+    params = {"w": jnp.ones((4, 4)), "b": jnp.zeros((4,))}
+
+    def loss_fn(p):
+        return jnp.sum(p["w"] ** 2) + jnp.sum((p["b"] - 1.0) ** 2)
+
+    key = jax.random.PRNGKey(3)
+    xs = np.linspace(-1, 1, 5)
+    ys = np.linspace(-1, 1, 5)
+    s1, d1, d2 = loss_surface_2d(loss_fn, params, key=key, xs=xs, ys=ys)
+    mesh = make_mesh(min(8, len(jax.devices())))
+    s2, _, _ = loss_surface_2d_sharded(loss_fn, params, mesh,
+                                       d1=d1, d2=d2, xs=xs, ys=ys)
+    np.testing.assert_allclose(s2, s1, rtol=1e-5, atol=1e-6)
