@@ -1,18 +1,21 @@
-"""Benchmark: flagship FWI iteration wall-clock on the reference's
-Marmousi acoustic workload.
+"""Benchmark: FWI iteration wall-clock on the reference's workloads.
 
-Workload (matches BASELINE.md row "Acoustic gradient workload"):
-18 shots x nt=4001 (dt=1 ms) x grid 151x200, per iteration
-forward + adjoint (direct-wave simulation hoisted out of the loop —
-it is model-independent; the reference recomputed it every iteration,
-networks.py:5396-5411, which we count as an algorithmic win, not a
-measurement trick: the iteration still produces the same gradient).
-Reference: deepwave CUDA, it_lap ~= 0.35 s/iteration
+Headline (first JSON line — matches BASELINE.md row "Acoustic
+gradient workload"): 18 shots x nt=4001 (dt=1 ms) x grid 151x200, per
+iteration forward + adjoint (direct-wave simulation hoisted out of
+the loop — it is model-independent; the reference recomputed it every
+iteration, networks.py:5396-5411, which we count as an algorithmic
+win, not a measurement trick: the iteration still produces the same
+gradient).  Reference: deepwave CUDA, it_lap ~= 0.35 s/iteration
 (/root/reference/marmsm_Mod8_log.txt col 5).
 
-Prints ONE JSON line:
-    {"metric": ..., "value": N, "unit": "s", "vs_baseline": N}
-vs_baseline > 1 means faster than the reference GPU iteration.
+Additional lines: the elastic DENISE-replacement workload (5 shots x
+5.0 s x 100x300 P-SV fwd+adjoint gradient, the reference's
+networks.py:7554-7878 geometry) on the 5-field sponge fast scheme.
+
+Each line: {"metric": ..., "value": N, "unit": "s",
+"vs_baseline": N}; vs_baseline > 1 means faster than the baseline
+named in the "baseline" field.
 """
 
 from __future__ import annotations
@@ -112,6 +115,62 @@ def run(backend: str):
     return (time.perf_counter() - t0) / n_iter
 
 
+def run_elastic(scheme: str = "fast"):
+    """Elastic gradient iteration (the DENISE workload,
+    networks.py:7554-7878): 5 shots x 5 s x 100x300, fwd+adjoint."""
+    import numpy as np
+    from physicsbasedfwi2_tpu.geo.acquisition import Acquisition
+    from physicsbasedfwi2_tpu.ops import ElasticConfig, simulate_elastic
+    from physicsbasedfwi2_tpu.ops.elastic_fast import simulate_elastic_fast
+
+    sim = simulate_elastic_fast if scheme == "fast" else simulate_elastic
+    nz, nx, nt, dt = 100, 300, 3334, 0.0015
+    ns, nr = 5, 298
+    grid = Grid2D(nz=nz, nx=nx, dx=20.0, nt=nt, dt=dt, pml_width=20,
+                  free_surface=True)
+    ecfg = ElasticConfig(grid=grid, chunk=64, vmax_pml=5000.0)
+    wav = ricker(10.0, nt, dt)
+    src_x = np.round(np.linspace(5, nx - 6, ns)).astype(np.int32)
+    acq = Acquisition(np.full(ns, 2, np.int32), src_x,
+                      np.full((ns, nr), 2, np.int32),
+                      np.tile(np.round(np.linspace(1, nx - 2, nr))
+                              .astype(np.int32), (ns, 1)))
+    geom = tuple(jnp.asarray(a) for a in
+                 (acq.src_z, acq.src_x, acq.rcv_z, acq.rcv_x))
+    z = jnp.arange(nz, dtype=jnp.float32)[:, None]
+    vp = jnp.broadcast_to(1500.0 + jnp.where(z < 10, 0.0, (z - 10) * 25.0),
+                          (nz, nx)).astype(jnp.float32)
+    vs = jnp.where(vp > 1500.0, vp / 1.8, 0.0)
+    rho = 310.0 * vp ** 0.25
+    vp_t = vp.at[40:60, 100:200].add(200.0)
+    ovx, ovz = sim(vp_t, vs, rho, wav, *geom, ecfg)
+
+    def loss_fn(vp_, vs_):
+        pvx, pvz = sim(vp_, vs_, rho, wav, *geom, ecfg)
+        return jnp.mean((pvx - ovx) ** 2) + jnp.mean((pvz - ovz) ** 2)
+
+    @jax.jit
+    def chain(vp_, vs_, n):
+        def body(i, carry):
+            vp_, vs_, acc = carry
+            loss, (gvp, gvs) = jax.value_and_grad(
+                loss_fn, argnums=(0, 1))(vp_, vs_)
+            return (vp_ - 1e-3 * gvp, vs_ - 1e-3 * gvs, acc + loss)
+
+        vp_, vs_, acc = jax.lax.fori_loop(0, n, body, (vp_, vs_, 0.0))
+        return acc
+
+    assert jnp.isfinite(float(chain(vp, vs, 1)))  # compile + warm
+    n = 5
+    t0 = time.perf_counter()
+    total = float(chain(vp, vs, n))
+    assert jnp.isfinite(total)
+    return (time.perf_counter() - t0) / n
+
+
+ELASTIC_R1_XLA_PML = 0.52  # s/gradient, round-1 split-PML XLA path
+
+
 def main():
     on_tpu = jax.devices()[0].platform == "tpu"
     backend = "pallas" if on_tpu else "xla"
@@ -128,7 +187,23 @@ def main():
         "value": round(dt_iter, 5),
         "unit": "s",
         "vs_baseline": round(BASELINE_IT_LAP / dt_iter, 2),
-    }))
+    }), flush=True)
+
+    try:
+        dt_el = run_elastic("fast")
+        print(json.dumps({
+            "metric": "marmousi_elastic_fwi_iteration_wallclock_fast",
+            "value": round(dt_el, 5),
+            "unit": "s",
+            "vs_baseline": round(ELASTIC_R1_XLA_PML / dt_el, 2),
+            "baseline": "round-1 split-PML XLA gradient (0.52 s); the "
+                        "reference preserved no DENISE wall-clocks "
+                        "(30-rank MPI, typically tens of seconds)",
+            "workload": "5 shots x 5.0s x 100x300 P-SV fwd+adjoint",
+        }), flush=True)
+    except Exception as e:
+        print(f"[bench] elastic bench failed ({type(e).__name__}: {e})",
+              file=sys.stderr)
 
 
 if __name__ == "__main__":

@@ -102,6 +102,8 @@ class SyntheticAcousticWorkload:
     vp_start: jnp.ndarray    # C
     obs: jnp.ndarray         # A  [ns, nt, nr]
     obs_norm: jnp.ndarray
+    from_disk: bool = False  # True: obs is real stored data, not
+                             # regenerable by our operators
 
     @classmethod
     def build(cls, *, nz=151, nx=200, dx=10.0, nt=4001, dt=0.001,
@@ -151,6 +153,7 @@ class SyntheticElasticWorkload:
     start: dict
     obs_vx: jnp.ndarray
     obs_vz: jnp.ndarray
+    from_disk: bool = False
 
     @classmethod
     def build(cls, *, nz=100, nx=300, dx=20.0, nt=1667, dt=0.0015,
@@ -199,11 +202,17 @@ class SyntheticElasticWorkload:
 def acoustic_workload_from_disk(dataroot: str, *, nz, nx, dx, nt, dt,
                                 pml_width=20, freq=8.0, num_shots=None,
                                 num_receivers=None, chunk=64,
-                                phase: str = "train"):
+                                phase: str = "train",
+                                wavelet_from_data: bool = False):
     """Build an acoustic workload from the reference's on-disk npy
     contract (trainA = gathers [ns, nt, nr], trainB = true model,
     trainC = low-frequency start model) so datasets prepared for the
-    reference train unchanged here."""
+    reference train unchanged here.
+
+    wavelet_from_data: take the per-shot source wavelets from trainD
+    (the AutoWav capability, networks.py:13163-13165:
+    ``source_amplitudes_true = swapaxes(wav, 0, 2)`` from the data
+    dict) instead of a synthetic Ricker."""
     from physicsbasedfwi2_tpu.data.npy_datasets import NpyDictDataset
     ds = NpyDictDataset(dataroot, "unalignedVelABCD2", phase=phase)
     item = ds[0]
@@ -219,12 +228,16 @@ def acoustic_workload_from_disk(dataroot: str, *, nz, nx, dx, nt, dt,
     grid = Grid2D(nz=nz, nx=nx, dx=dx, nt=nt, dt=dt,
                   pml_width=pml_width)
     cfg = AcousticConfig(grid=grid, chunk=chunk, vmax_pml=5000.0)
-    wav = ricker(freq, nt, dt)
+    if wavelet_from_data and "D" in item:
+        wav = jnp.asarray(item["D"]).reshape(num_shots, nt)
+    else:
+        wav = ricker(freq, nt, dt)
     acq = surface_line(num_shots, num_receivers, nx, src_depth=0,
                        rcv_depth=0)
     return SyntheticAcousticWorkload(
         grid=grid, cfg=cfg, acq=acq, wavelet=wav, vp_true=vp_true,
-        vp_start=vp_start, obs=obs, obs_norm=trace_normalize(obs))
+        vp_start=vp_start, obs=obs, obs_norm=trace_normalize(obs),
+        from_disk=True)
 
 
 def elastic_workload_from_disk(dataroot: str, *, nz, nx, dx, nt, dt,
@@ -262,16 +275,27 @@ def elastic_workload_from_disk(dataroot: str, *, nz, nx, dx, nt, dt,
         grid=grid, cfg=cfg, acq=acq, wavelet=wav,
         true={"vp": b[0], "vs": b[1], "rho": b[2]},
         start={"vp": c[0], "vs": c[1], "rho": c[2]},
-        obs_vx=ovx, obs_vz=ovz)
+        obs_vx=ovx, obs_vz=ovz, from_disk=True)
 
 
 def write_npy_tree(root: str, workload: SyntheticAcousticWorkload,
-                   *, phase: str = "train"):
+                   *, phase: str = "train",
+                   write_wavelets: bool = False):
     """Materialize the reference's on-disk contract
-    (<root>/<phase>A/0.npy etc.) from a synthetic workload."""
+    (<root>/<phase>A/0.npy etc.) from a synthetic workload.
+    write_wavelets adds <phase>D = per-shot source wavelets [ns, nt]
+    (the AutoWav trainD contract, networks.py:13163)."""
     import os
-    for letter, arr in (("A", workload.obs), ("B", workload.vp_true),
-                        ("C", workload.vp_start)):
+    entries = [("A", workload.obs), ("B", workload.vp_true),
+               ("C", workload.vp_start)]
+    if write_wavelets:
+        wav = np.asarray(workload.wavelet)
+        if wav.ndim == 1:
+            wav = np.broadcast_to(
+                wav[None], (len(np.asarray(workload.acq.src_z)),
+                            wav.shape[0]))
+        entries.append(("D", wav))
+    for letter, arr in entries:
         d = os.path.join(root, phase + letter)
         os.makedirs(d, exist_ok=True)
         np.save(os.path.join(d, "0.npy"), np.asarray(arr))

@@ -49,6 +49,8 @@ class ExperimentConfig:
     misfit: str = "l1"
     direct_wave: bool = True           # constant-model direct-arrival
                                        # removal (networks.py:5396-5411)
+    wavelet_from_data: bool = False    # AutoWav: per-shot wavelets
+                                       # from trainD (networks.py:13163)
     validate_on_twin: bool = True      # held-out Test-twin validation
                                        # (data/__init__.py:41-62)
     supervised_weight: float = 0.0     # model-MSE term weight
@@ -125,6 +127,19 @@ register_workload("marmousi_acoustic_vaeflow", ExperimentConfig(
     engine="acoustic_dip", netG="VaeNormalizingPhy", kl_weight=1e-4,
     nz=151, nx=200, dx=10.0, nt=4001, dt=0.001, freq=8.0,
     num_shots=18, num_receivers=200, lr=0.01,
+))
+# source wavelet taken from the data (AutoWav, networks.py:13120-13180)
+register_workload("marmousi_acoustic_wav", ExperimentConfig(
+    engine="acoustic_dip", netG="AutoWav", wavelet_from_data=True,
+    nz=151, nx=200, dx=10.0, nt=4001, dt=0.001, freq=8.0,
+    num_shots=30, num_receivers=200, lr=0.01,
+))
+# BASELINE config 1: Auto2's impedance-synthetic L1 training
+# (Auto2_model.py:240-342 — reflectivity + wavelet convolution)
+register_workload("marmousi_impedance", ExperimentConfig(
+    engine="impedance_dip", netG="Auto",
+    nz=151, nx=200, dx=10.0, nt=64, dt=0.001, freq=14.0,
+    num_shots=1, num_receivers=200, lr=0.01, misfit="l1",
 ))
 
 # --- BASELINE.json config 3: Marmousi elastic (Adam and L-BFGS) ----------

@@ -154,12 +154,19 @@ class AcousticDIPEngine(EngineBase):
             workload = acoustic_workload_from_disk(
                 cfg.dataroot, nz=cfg.nz, nx=cfg.nx, dx=cfg.dx,
                 nt=cfg.nt, dt=cfg.dt, pml_width=cfg.pml_width,
-                freq=cfg.freq, chunk=cfg.chunk)
+                freq=cfg.freq, chunk=cfg.chunk,
+                wavelet_from_data=cfg.wavelet_from_data)
         self.wl = workload or SyntheticAcousticWorkload.build(
             nz=cfg.nz, nx=cfg.nx, dx=cfg.dx, nt=cfg.nt, dt=cfg.dt,
             pml_width=cfg.pml_width, freq=cfg.freq,
             num_shots=cfg.num_shots, num_receivers=cfg.num_receivers,
             seed=cfg.seed, chunk=cfg.chunk)
+        if cfg.wavelet_from_data and self.wl.wavelet.ndim == 1:
+            # AutoWav on a synthetic workload: materialize the
+            # per-shot wavelet array the trainD data would carry
+            self.wl.wavelet = jnp.broadcast_to(
+                self.wl.wavelet[None, :],
+                (cfg.num_shots, self.wl.wavelet.shape[0]))
         # fused-path decision precedes any obs handling so the data
         # the engine fits is generated by the SAME operator it inverts
         # with (second-order sponge scheme vs 4th-order split-PML).
@@ -425,6 +432,121 @@ class AcousticDIPEngine(EngineBase):
 
 
 # ---------------------------------------------------------------------------
+# multi-sample acoustic DIP: batch axis through the CNN + {sample,
+# shot} mesh through the physics (the reference's batch_size=8 + Ray
+# per-sample fan-out, Auto_model.py:69-199)
+# ---------------------------------------------------------------------------
+
+class MultiSampleAcousticDIPEngine(EngineBase):
+    """One generator trained on a BATCH of FWI samples: the CNN runs
+    data-parallel over the batch, and the physics misfit fans out
+    over a 2D {sample, shot} device mesh (or a vmap on one chip) —
+    the Ray-remote-GPU pattern as one shard_map."""
+
+    def __init__(self, cfg: ExperimentConfig, workloads=None, mesh=None,
+                 n_samples: int = 2):
+        self.cfg = cfg
+        self.mesh = mesh
+        if workloads is None:
+            workloads = [
+                SyntheticAcousticWorkload.build(
+                    nz=cfg.nz, nx=cfg.nx, dx=cfg.dx, nt=cfg.nt,
+                    dt=cfg.dt, pml_width=cfg.pml_width, freq=cfg.freq,
+                    num_shots=cfg.num_shots,
+                    num_receivers=cfg.num_receivers,
+                    seed=cfg.seed + i, chunk=cfg.chunk)
+                for i in range(n_samples)]
+        self.wls = workloads
+        wl0 = workloads[0]
+        self.vp_true = jnp.stack([w.vp_true for w in workloads])
+        self.obs = jnp.stack([w.obs for w in workloads])
+        self.obs_norm = jnp.stack([w.obs_norm for w in workloads])
+        self.shots_in = jnp.transpose(self.obs, (0, 2, 3, 1))
+        self.true_b = self.vp_true[..., None]
+        self.net = define_generator(
+            cfg.netG, out_shape=(cfg.nz, cfg.nx),
+            latent_dim=cfg.latent_dim, filters=cfg.filters,
+            time_decimation=cfg.time_decimation)
+        self.params = self.net.init(jax.random.PRNGKey(cfg.seed),
+                                    self.shots_in)
+        self.opt = _make_optimizer(cfg)
+        self.opt_state = self.opt.init(self.params)
+        self.lr_policy = LrPolicy(cfg) if cfg.optimizer == "adam" else None
+        wl_cfg, geom, wav = wl0.cfg, wl0.geom, wl0.wavelet
+        obs_norm = self.obs_norm
+        mis = cfg.misfit
+
+        def raw(vps):
+            def per_sample(vp, obs):
+                pred = simulate_acoustic(vp, wav, *geom, wl_cfg)
+                pred = trace_normalize(pred)
+                r = pred - obs
+                per = jnp.abs(r) if mis == "l1" else r * r
+                return jnp.mean(per)
+            return jnp.mean(jax.vmap(per_sample)(vps, obs_norm))
+
+        def value_and_grad_physics(vps):
+            if mesh is None:
+                return jax.value_and_grad(raw)(vps)
+            from physicsbasedfwi2_tpu.parallel import (
+                sample_shot_sharded_acoustic_gradient)
+            return sample_shot_sharded_acoustic_gradient(
+                mesh, vps, obs_norm, wav, *geom, wl_cfg, misfit=mis)
+
+        @jax.custom_vjp
+        def physics_loss(vps):
+            return raw(vps)
+
+        def fwd(vps):
+            loss, g = value_and_grad_physics(vps)
+            g = jax.vmap(lambda gi, ti: water_mask(
+                depth_weighting(gi, 2.0), ti, cfg.water_vel))(
+                g, self.vp_true)
+            return loss, g * cfg.grad_scale
+
+        def bwd(res, ct):
+            return (ct * res,)
+
+        physics_loss.defvjp(fwd, bwd)
+
+        def total_loss(params):
+            from physicsbasedfwi2_tpu.models import pack_output
+            out = pack_output(self.net.apply(params, self.shots_in))
+            vps = apply_velocity_output(out.field, self.true_b,
+                                        water_vel=cfg.water_vel)[..., 0]
+            mse = jnp.mean((vps - self.vp_true) ** 2)
+            return physics_loss(vps), mse
+
+        @jax.jit
+        def train_step(params, opt_state):
+            (loss, mse), grads = jax.value_and_grad(
+                total_loss, has_aux=True)(params)
+            updates, opt_state = self.opt.update(grads, opt_state, params)
+            return optax.apply_updates(params, updates), opt_state, \
+                loss, mse
+
+        self._train_step = train_step
+
+    def optimize_parameters(self, epoch: int):
+        if self.lr_policy is not None:
+            _set_lr(self.opt_state, self.lr_policy.lr_for_epoch(epoch))
+        self.params, self.opt_state, loss, mse = self._train_step(
+            self.params, self.opt_state)
+        out = {"loss_D": float(loss), "loss_M_MSE": float(mse)}
+        if self.lr_policy is not None:
+            out["lr"] = self.lr_policy.after_epoch(float(loss))
+        return out
+
+    def test(self):
+        from physicsbasedfwi2_tpu.models import pack_output
+        out = pack_output(self.net.apply(self.params, self.shots_in))
+        vps = apply_velocity_output(out.field, self.true_b,
+                                    water_vel=self.cfg.water_vel)[..., 0]
+        mse = float(jnp.mean((vps - self.vp_true) ** 2))
+        return {"loss_V_MSE": mse}, np.asarray(vps)
+
+
+# ---------------------------------------------------------------------------
 # elastic deep-image-prior engine (AutoElMar22 family)
 # ---------------------------------------------------------------------------
 
@@ -448,6 +570,22 @@ class ElasticDIPEngine(EngineBase):
             num_shots=cfg.num_shots, num_receivers=cfg.num_receivers,
             seed=cfg.seed, chunk=cfg.chunk,
             free_surface=cfg.free_surface, water_rows=cfg.water_rows)
+        # fast path: 5-field sponge scheme (elastic_fast) — operator
+        # consistency mirrors the acoustic engine: synthetic obs are
+        # regenerated with the same operator the inversion uses
+        self._use_fast = cfg.backend in ("auto", "fast")
+        if self._use_fast:
+            from physicsbasedfwi2_tpu.ops.elastic_fast import (
+                simulate_elastic_fast)
+            self._sim = simulate_elastic_fast
+            if not getattr(self.wl, "from_disk", False):
+                wl = self.wl
+                ovx, ovz = self._sim(
+                    wl.true["vp"], wl.true["vs"], wl.true["rho"],
+                    wl.wavelet, *wl.geom, wl.cfg)
+                wl.obs_vx, wl.obs_vz = ovx, ovz
+        else:
+            self._sim = simulate_elastic
         self.net = define_generator(
             cfg.netG, out_shape=(cfg.nz, cfg.nx), latent_dim=cfg.latent_dim,
             filters=cfg.filters, time_decimation=cfg.time_decimation,
@@ -474,29 +612,50 @@ class ElasticDIPEngine(EngineBase):
         self.lr_policy = LrPolicy(cfg) if cfg.optimizer == "adam" else None
         self._rng = jax.random.PRNGKey(cfg.seed + 7)
         self._step_cache = {}
+        self._stage_cache = {}
+
+    def _stage_data(self, fc):
+        """Per-stage (wavelet_fc, obs_vx_fc, obs_vz_fc), cached.
+
+        Frequency continuation is applied on the SOURCE side: the
+        wavelet is low-passed once per stage (exactly DENISE's
+        FC_SPIKE_1/2 band limit, networks.py:7711-7713) — by
+        linearity of the wave equation, simulating with the filtered
+        wavelet equals filtering the prediction, so the per-iteration
+        filtering of pred drops out of the hot loop entirely.  The
+        observed data is filtered once per stage."""
+        key = float(fc or 0.0)
+        if key not in self._stage_cache:
+            wl, cfg = self.wl, self.cfg
+            if key > 0:
+                wav = lowpass_filter_time(wl.wavelet, key, cfg.dt,
+                                          axis=-1)
+                ovx = lowpass_filter_time(wl.obs_vx, key, cfg.dt, axis=1)
+                ovz = lowpass_filter_time(wl.obs_vz, key, cfg.dt, axis=1)
+            else:
+                wav, ovx, ovz = wl.wavelet, wl.obs_vx, wl.obs_vz
+            self._stage_cache[key] = (wav, ovx, ovz)
+        return self._stage_cache[key]
 
     def _physics_loss_raw(self, m, fc, shot_idx):
-        """Misfit on a shot subset with per-stage low-pass —
+        """Misfit on a shot subset at the given continuation stage —
         the d.grad() role (networks.py:7787).  ``m`` is the stacked
         [nz, nx, F] model; with F == 2 the density entering the
         simulation is the LOW-FREQUENCY rho (networks.py:7458 — never
         the ground truth)."""
-        cfg, wl = self.cfg, self.wl
+        wl = self.wl
+        wav, ovx_all, ovz_all = self._stage_data(fc)
         sz = wl.geom[0][shot_idx]
         sx = wl.geom[1][shot_idx]
         rz = wl.geom[2][shot_idx]
         rx = wl.geom[3][shot_idx]
+        if wav.ndim == 2:
+            wav = wav[shot_idx]
         vp, vs = m[..., 0], m[..., 1]
         rho = m[..., 2] if self.n_fields == 3 else wl.start["rho"]
-        pvx, pvz = simulate_elastic(vp, vs, rho, wl.wavelet,
-                                    sz, sx, rz, rx, wl.cfg)
-        ovx = wl.obs_vx[shot_idx]
-        ovz = wl.obs_vz[shot_idx]
-        if fc and fc > 0:
-            pvx = lowpass_filter_time(pvx, fc, cfg.dt, axis=1)
-            pvz = lowpass_filter_time(pvz, fc, cfg.dt, axis=1)
-            ovx = lowpass_filter_time(ovx, fc, cfg.dt, axis=1)
-            ovz = lowpass_filter_time(ovz, fc, cfg.dt, axis=1)
+        pvx, pvz = self._sim(vp, vs, rho, wav, sz, sx, rz, rx, wl.cfg)
+        ovx = ovx_all[shot_idx]
+        ovz = ovz_all[shot_idx]
         return jnp.mean((pvx - ovx) ** 2) + jnp.mean((pvz - ovz) ** 2)
 
     def _make_physics_loss(self, fc):
@@ -686,6 +845,16 @@ class ClassicFWIEngine(EngineBase):
             seed=cfg.seed, chunk=cfg.chunk,
             free_surface=cfg.free_surface, water_rows=cfg.water_rows)
         wl = self.wl
+        use_fast = cfg.backend in ("auto", "fast")
+        if use_fast:
+            from physicsbasedfwi2_tpu.ops.elastic_fast import (
+                simulate_elastic_fast as sim)
+            if not getattr(wl, "from_disk", False):
+                wl.obs_vx, wl.obs_vz = sim(
+                    wl.true["vp"], wl.true["vs"], wl.true["rho"],
+                    wl.wavelet, *wl.geom, wl.cfg)
+        else:
+            sim = simulate_elastic
         self.params = {"vp": wl.start["vp"], "vs": wl.start["vs"]}
         self.opt = _make_optimizer(cfg)
         self.opt_state = self.opt.init(self.params)
@@ -696,7 +865,7 @@ class ClassicFWIEngine(EngineBase):
             sx = wl.geom[1][shot_idx]
             rz = wl.geom[2][shot_idx]
             rx = wl.geom[3][shot_idx]
-            pvx, pvz = simulate_elastic(
+            pvx, pvz = sim(
                 params["vp"], params["vs"], wl.start["rho"], wl.wavelet,
                 sz, sx, rz, rx, wl.cfg)
             return (jnp.mean((pvx - wl.obs_vx[shot_idx]) ** 2)
@@ -771,7 +940,13 @@ class LatentInversionEngine(EngineBase):
     the latent directly through decoder + propagator in one graph."""
 
     def __init__(self, cfg: ExperimentConfig, workload=None,
-                 decoder_params=None):
+                 decoder_params=None, decoder_net=None,
+                 decoder_norm=None):
+        """decoder_net/decoder_params/decoder_norm: a pretrained
+        model-domain VAE from engine.pretrain.pretrain_model_vae (the
+        VaeNoPhy/Vaevel stage); decoder_norm = (vmin, vmax) maps the
+        decoder's [0,1] output to velocities.  Without them a fresh
+        (random) VaeNet decoder is used."""
         from physicsbasedfwi2_tpu.models import VaeNet
         self.cfg = cfg
         self.wl = workload or SyntheticAcousticWorkload.build(
@@ -779,23 +954,36 @@ class LatentInversionEngine(EngineBase):
             pml_width=cfg.pml_width, freq=cfg.freq,
             num_shots=cfg.num_shots, num_receivers=cfg.num_receivers,
             seed=cfg.seed, chunk=cfg.chunk)
-        self.net = VaeNet(out_shape=(cfg.nz, cfg.nx),
-                          latent_dim=cfg.latent_dim, filters=cfg.filters)
         shots_in = jnp.transpose(self.wl.obs, (1, 2, 0))[None]
         self.shots_in = shots_in
-        full = self.net.init({"params": jax.random.PRNGKey(cfg.seed),
-                              "latent": jax.random.PRNGKey(1)}, shots_in)
-        self.decoder_params = decoder_params or full
-        self.z = jnp.zeros((1, cfg.latent_dim))
+        if decoder_net is not None:
+            if decoder_params is None:
+                raise ValueError("decoder_net requires decoder_params")
+            self.net = decoder_net
+            self.decoder_params = decoder_params
+        else:
+            self.net = VaeNet(out_shape=(cfg.nz, cfg.nx),
+                              latent_dim=cfg.latent_dim,
+                              filters=cfg.filters)
+            full = self.net.init(
+                {"params": jax.random.PRNGKey(cfg.seed),
+                 "latent": jax.random.PRNGKey(1)}, shots_in)
+            self.decoder_params = decoder_params or full
+        latent_dim = getattr(self.net, "latent_dim", cfg.latent_dim)
+        self.z = jnp.zeros((1, latent_dim))
         self.opt = _make_optimizer(cfg)
         self.opt_state = self.opt.init(self.z)
         self.lr_policy = LrPolicy(cfg) if cfg.optimizer == "adam" else None
+        self.decoder_norm = decoder_norm
         wl, ccfg = self.wl, cfg
+        vmin, vmax = decoder_norm if decoder_norm is not None else (
+            None, None)
 
         def loss_fn(z):
             f01 = self.net.apply(self.decoder_params, z,
                                  method=self.net.decode)
             vp = apply_velocity_output(f01, wl.vp_true[None, :, :, None],
+                                       vmin=vmin, vmax=vmax,
                                        water_vel=ccfg.water_vel)[0, :, :, 0]
             pred = simulate_acoustic(vp, wl.wavelet, *wl.geom, wl.cfg)
             mis = l1_misfit if ccfg.misfit == "l1" else l2_misfit
@@ -821,10 +1009,13 @@ class LatentInversionEngine(EngineBase):
         return out
 
     def test(self):
+        vmin, vmax = self.decoder_norm if self.decoder_norm is not None \
+            else (None, None)
         f01 = self.net.apply(self.decoder_params, self.z,
                              method=self.net.decode)
-        vp = apply_velocity_output(f01,
-                                   self.wl.vp_true[None, :, :, None])[0, :, :, 0]
+        vp = apply_velocity_output(
+            f01, self.wl.vp_true[None, :, :, None],
+            vmin=vmin, vmax=vmax)[0, :, :, 0]
         mse = float(jnp.mean((vp - self.wl.vp_true) ** 2))
         return {"loss_V_MSE": mse}, np.asarray(vp)
 
@@ -930,12 +1121,95 @@ class SupervisedEngine(EngineBase):
             np.asarray(fake)
 
 
+# ---------------------------------------------------------------------------
+# impedance-synthetic engine — BASELINE config 1's Auto2 capability
+# ---------------------------------------------------------------------------
+
+class ImpedanceDIPEngine(EngineBase):
+    """Deep-image-prior inversion through the impedance convolutional
+    forward model (Auto2_model.py:240-342): the generator maps the
+    observed post-stack section to a velocity model; reflectivity =
+    (Zp2-Zp1)/(Zp2+Zp1) convolved with a Ricker wavelet gives the
+    synthetic, L1 against the data.  Fully differentiable — no
+    custom VJP needed (conv1d + elementwise ops)."""
+
+    def __init__(self, cfg: ExperimentConfig, workload=None):
+        from physicsbasedfwi2_tpu.ops.impedance import impedance_synthetic
+        self.cfg = cfg
+        self.wl = workload or SyntheticAcousticWorkload.build(
+            nz=cfg.nz, nx=cfg.nx, dx=cfg.dx, nt=max(cfg.nt, 64),
+            dt=cfg.dt, pml_width=cfg.pml_width, freq=cfg.freq,
+            num_shots=max(cfg.num_shots, 1),
+            num_receivers=cfg.num_receivers, seed=cfg.seed,
+            chunk=cfg.chunk)
+        wfreq = cfg.extras.get("impedance_freq", 20.0)
+        wdt = cfg.extras.get("impedance_dt", 2e-3)
+        nwav = cfg.extras.get("impedance_nwav", 100)
+        self._synth = lambda vp: impedance_synthetic(
+            vp, freq=wfreq, n_wavelet=nwav, dt=wdt, axis=-2)
+        # observed post-stack section = synthetic of the true model
+        # (the reference's trainA for Auto2 was prepared that way)
+        vp_true = self.wl.vp_true
+        self.obs_stack = self._synth(vp_true[None, :, :, None])
+        self.net = define_generator(
+            cfg.netG, out_shape=(cfg.nz, cfg.nx),
+            latent_dim=cfg.latent_dim, filters=cfg.filters,
+            time_decimation=1)
+        self.params = self.net.init(jax.random.PRNGKey(cfg.seed),
+                                    self.obs_stack)
+        self.opt = _make_optimizer(cfg)
+        self.opt_state = self.opt.init(self.params)
+        self.lr_policy = LrPolicy(cfg) if cfg.optimizer == "adam" else None
+        mis = l1_misfit if cfg.misfit == "l1" else l2_misfit
+        true_b = vp_true[None, :, :, None]
+
+        def total_loss(params):
+            from physicsbasedfwi2_tpu.models import pack_output
+            out = pack_output(self.net.apply(params, self.obs_stack))
+            vp = apply_velocity_output(out.field, true_b,
+                                       water_vel=cfg.water_vel)
+            loss = mis(self._synth(vp), self.obs_stack)
+            mse = jnp.mean((vp[0, :, :, 0] - vp_true) ** 2)
+            return loss, mse
+
+        @jax.jit
+        def train_step(params, opt_state):
+            (loss, mse), grads = jax.value_and_grad(
+                total_loss, has_aux=True)(params)
+            updates, opt_state = self.opt.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return params, opt_state, loss, mse
+
+        self._train_step = train_step
+
+    def optimize_parameters(self, epoch: int):
+        if self.lr_policy is not None:
+            _set_lr(self.opt_state, self.lr_policy.lr_for_epoch(epoch))
+        self.params, self.opt_state, loss, mse = self._train_step(
+            self.params, self.opt_state)
+        out = {"loss_D_MSE": float(loss), "loss_M_MSE": float(mse)}
+        if self.lr_policy is not None:
+            out["lr"] = self.lr_policy.after_epoch(float(loss))
+        return out
+
+    def test(self):
+        from physicsbasedfwi2_tpu.models import pack_output
+        out = pack_output(self.net.apply(self.params, self.obs_stack))
+        vp = apply_velocity_output(
+            out.field, self.wl.vp_true[None, :, :, None],
+            water_vel=self.cfg.water_vel)[0, :, :, 0]
+        mse = float(jnp.mean((vp - self.wl.vp_true) ** 2))
+        return {"loss_V_MSE": mse}, np.asarray(vp)
+
+
 _ENGINES = {
     "acoustic_dip": AcousticDIPEngine,
+    "acoustic_dip_multi": MultiSampleAcousticDIPEngine,
     "elastic_dip": ElasticDIPEngine,
     "classic_fwi": ClassicFWIEngine,
     "latent_inversion": LatentInversionEngine,
     "supervised": SupervisedEngine,
+    "impedance_dip": ImpedanceDIPEngine,
 }
 
 

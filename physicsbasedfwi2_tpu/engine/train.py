@@ -44,6 +44,79 @@ class PlateauDetector:
         return False
 
 
+def _prep_img(x):
+    """[B?, H, W(, C)] float array -> NHWC."""
+    import numpy as np
+    x = np.asarray(x, np.float32)
+    return x[..., None] if x.ndim in (2, 3) else x
+
+
+def train_supervised(cfg: ExperimentConfig, *, epochs: int | None = None,
+                     quiet: bool = False):
+    """Batch/epoch data loop for the supervised & GAN baselines —
+    the reference's train4d.py/trainVal4d.py role: iterate dataset
+    batches through SupervisedEngine, validate on the test twin.
+
+    Returns (engine, history)."""
+    import jax.numpy as jnp
+    import numpy as np
+    from physicsbasedfwi2_tpu.data.npy_datasets import create_dataset
+
+    if not cfg.dataroot:
+        raise ValueError(
+            "supervised workloads need --dataroot (an npy tree with "
+            f"{cfg.dataset_mode}'s letter directories)")
+    ds = create_dataset(cfg.dataroot, cfg.dataset_mode)
+    item0 = ds[0]
+    letters = [L for L in "ABCDE" if L in item0]
+    if len(letters) < 2:
+        raise ValueError(f"need input+target dirs, found {letters}")
+    la, lb = letters[0], letters[1]
+    a0, b0 = _prep_img(item0[la]), _prep_img(item0[lb])
+    engine = create_engine(cfg, in_shape=a0.shape[:2],
+                           in_channels=a0.shape[-1],
+                           out_channels=b0.shape[-1])
+    try:
+        ds_val = create_dataset(cfg.dataroot, cfg.dataset_mode,
+                                phase="test")
+        if len(ds_val) == 0:
+            ds_val = None
+    except (FileNotFoundError, OSError):
+        ds_val = None
+    viz = Visualizer(cfg)
+    viz.dump_config(cfg)
+    epochs = epochs if epochs is not None else cfg.n_epochs
+    history = []
+    flip = bool(cfg.extras.get("flip", False))
+    for epoch in range(1, epochs + 1):
+        t0 = time.time()
+        agg = collections.defaultdict(float)
+        nb = 0
+        for batch in ds.batches(cfg.batch_size, seed=cfg.seed + epoch,
+                                flip=flip):
+            a = jnp.asarray(_prep_img(batch[la]))
+            b = jnp.asarray(_prep_img(batch[lb]))
+            losses = engine.optimize_parameters(a, b, epoch=epoch)
+            for k, v in losses.items():
+                agg[k] += v
+            nb += 1
+        rec = {"epoch": epoch,
+               **{k: v / max(nb, 1) for k, v in agg.items()},
+               "epoch_time": time.time() - t0}
+        if ds_val is not None:
+            it = ds_val[0]
+            va = jnp.asarray(_prep_img(it[la])[None])
+            vb = jnp.asarray(_prep_img(it[lb])[None])
+            val, _ = engine.test(va, vb)
+            rec.update(val)
+        history.append(rec)
+        viz.log_epoch(rec)
+        if epoch % cfg.save_epoch_freq == 0 or epoch == epochs:
+            engine.save_networks(epoch)
+            engine.save_networks("latest")
+    return engine, history
+
+
 def train(cfg: ExperimentConfig, *, epochs: int | None = None,
           iters_per_epoch: int = 1, workload=None, quiet: bool = False,
           continue_from: str | int | None = None, start_epoch: int = 1,
@@ -56,7 +129,12 @@ def train(cfg: ExperimentConfig, *, epochs: int | None = None,
     profile_dir: capture a jax.profiler trace of the first
         ``profile_epochs`` epochs (the reference only had wall-clock
         prints; this is the TPU-native upgrade, SURVEY §5 tracing).
+
+    Supervised/GAN workloads (engine == 'supervised') route to the
+    batch/epoch data loop (:func:`train_supervised`).
     """
+    if cfg.engine == "supervised":
+        return train_supervised(cfg, epochs=epochs, quiet=quiet)
     engine = create_engine(cfg, workload=workload) if workload is not None \
         else create_engine(cfg)
     if continue_from is not None:

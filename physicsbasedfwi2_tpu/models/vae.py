@@ -59,10 +59,28 @@ class VaeNet(nn.Module):
         return self.decoder(z, deterministic=deterministic)
 
 
+class _ImgEncoder(nn.Module):
+    """Image -> 2*latent (mu, logvar) conv encoder."""
+
+    latent_dim: int
+    filters: Sequence[int]
+    norm: str = "group"
+
+    @nn.compact
+    def __call__(self, x, *, deterministic: bool = True):
+        from physicsbasedfwi2_tpu.models.blocks import Down
+        for f in self.filters:
+            x = Down(f, self.norm)(x, deterministic=deterministic)
+        x = x.reshape((x.shape[0], -1))
+        return nn.Dense(2 * self.latent_dim)(x)
+
+
 class ModelVae(nn.Module):
     """Velocity-model VAE for generative pretraining (Vaevel /
     VaeNoPhy capability, networks.py:16507, 15021): image -> latent
-    -> image.  Returns (recon01, mu, logvar, z)."""
+    -> image.  Returns (recon01, mu, logvar, z).  setup()-style so
+    ``decode`` is available for the frozen-decoder latent-inversion
+    pipeline (VaeLatent2NoPhy_model.py:395-560)."""
 
     out_shape: tuple[int, int]
     out_channels: int = 1
@@ -70,15 +88,15 @@ class ModelVae(nn.Module):
     filters: Sequence[int] = (16, 32, 64, 128)
     norm: str = "group"
 
-    @nn.compact
+    def setup(self):
+        self.encoder = _ImgEncoder(self.latent_dim, self.filters,
+                                   self.norm)
+        self.decoder = Decoder2D(self.out_shape, self.out_channels,
+                                 self.filters, norm=self.norm)
+
     def __call__(self, model_img, *, deterministic: bool = True,
                  rng_key=None):
-        x = model_img
-        from physicsbasedfwi2_tpu.models.blocks import Down
-        for f in self.filters:
-            x = Down(f, self.norm)(x, deterministic=deterministic)
-        x = x.reshape((x.shape[0], -1))
-        h = nn.Dense(2 * self.latent_dim)(x)
+        h = self.encoder(model_img, deterministic=deterministic)
         mu, logvar = jnp.split(h, 2, axis=-1)
         if deterministic:
             z = mu
@@ -87,9 +105,11 @@ class ModelVae(nn.Module):
                 rng_key = self.make_rng("latent")
             z = mu + jnp.exp(0.5 * logvar) * jax.random.normal(
                 rng_key, mu.shape)
-        out = Decoder2D(self.out_shape, self.out_channels, self.filters,
-                        norm=self.norm)(z, deterministic=deterministic)
+        out = self.decoder(z, deterministic=deterministic)
         return out, mu, logvar, z
+
+    def decode(self, z, *, deterministic: bool = True):
+        return self.decoder(z, deterministic=deterministic)
 
 
 class VaeFlowNet(nn.Module):

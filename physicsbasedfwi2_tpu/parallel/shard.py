@@ -87,6 +87,55 @@ def shot_sharded_acoustic_gradient(mesh: Mesh, vp, obs_norm, wavelet,
     return loss / denom, g / denom
 
 
+def sample_shot_sharded_acoustic_gradient(
+        mesh: Mesh, vps, obs_norm, wavelet, src_z, src_x, rcv_z, rcv_x,
+        cfg: AcousticConfig, *, misfit: str = "l2",
+        sample_axis: str = "sample", shot_axis: str = "shot"):
+    """(loss, dJ/dvps) over a 2D {sample, shot} mesh — the TPU-native
+    replacement for the reference's Ray per-sample GPU fan-out
+    (Auto_model.py:185-199: @ray.remote prop per sample) composed
+    with shot parallelism.
+
+    vps: [B, nz, nx] one model per sample (batch axis sharded over
+        ``sample_axis``).
+    obs_norm: [B, ns, nt, nr] trace-normalized data (sharded over
+        both axes).
+    Geometry arrays are shared across samples and sharded over
+    ``shot_axis``.  Returns the mean misfit over all samples/shots
+    and per-sample gradients [B, nz, nx] (sharded over samples).
+    """
+    B, ns, nt, nr = obs_norm.shape
+
+    @jax.jit
+    @functools.partial(
+        shard_map, mesh=mesh,
+        in_specs=(P(sample_axis), P(sample_axis, shot_axis),
+                  P(shot_axis), P(shot_axis), P(shot_axis),
+                  P(shot_axis), P()),
+        out_specs=(P(), P(sample_axis)),
+        check_vma=False)
+    def _grad(vp_blk, obs_blk, sz, sx, rz, rx, wav):
+        def local_loss(vpb):
+            def per_sample(vp, obs):
+                pred = simulate_acoustic(vp, wav, sz, sx, rz, rx, cfg)
+                m = jnp.max(jnp.abs(pred), axis=1, keepdims=True)
+                pred = pred / (m + 1e-10)
+                r = pred - obs
+                per = jnp.abs(r) if misfit == "l1" else r * r
+                return jnp.sum(per)
+
+            return jnp.sum(jax.vmap(per_sample)(vpb, obs_blk))
+
+        loss, g = jax.value_and_grad(local_loss)(vp_blk)
+        loss = lax.psum(lax.psum(loss, shot_axis), sample_axis)
+        g = lax.psum(g, shot_axis)  # sample-sharded grads stay local
+        return loss, g
+
+    loss, g = _grad(vps, obs_norm, src_z, src_x, rcv_z, rcv_x, wavelet)
+    denom = B * ns * nt * nr
+    return loss / denom, g / denom
+
+
 def shot_sharded_elastic_gradient(mesh: Mesh, vp, vs, rho, obs_vx, obs_vz,
                                   wavelet, src_z, src_x, rcv_z, rcv_x,
                                   cfg: ElasticConfig, *,
