@@ -117,13 +117,15 @@ def run(backend: str):
 
 def run_elastic(scheme: str = "fast"):
     """Elastic gradient iteration (the DENISE workload,
-    networks.py:7554-7878): 5 shots x 5 s x 100x300, fwd+adjoint."""
+    networks.py:7554-7878): 5 shots x 5 s x 100x300, fwd+adjoint.
+
+    scheme: "fused" (Pallas loss+grad kernel), "fast" (5-field sponge
+    XLA autodiff) or "pml" (split-PML XLA autodiff)."""
     import numpy as np
     from physicsbasedfwi2_tpu.geo.acquisition import Acquisition
     from physicsbasedfwi2_tpu.ops import ElasticConfig, simulate_elastic
     from physicsbasedfwi2_tpu.ops.elastic_fast import simulate_elastic_fast
 
-    sim = simulate_elastic_fast if scheme == "fast" else simulate_elastic
     nz, nx, nt, dt = 100, 300, 3334, 0.0015
     ns, nr = 5, 298
     grid = Grid2D(nz=nz, nx=nx, dx=20.0, nt=nt, dt=dt, pml_width=20,
@@ -143,25 +145,48 @@ def run_elastic(scheme: str = "fast"):
     vs = jnp.where(vp > 1500.0, vp / 1.8, 0.0)
     rho = 310.0 * vp ** 0.25
     vp_t = vp.at[40:60, 100:200].add(200.0)
-    ovx, ovz = sim(vp_t, vs, rho, wav, *geom, ecfg)
 
-    def loss_fn(vp_, vs_):
-        pvx, pvz = sim(vp_, vs_, rho, wav, *geom, ecfg)
-        return jnp.mean((pvx - ovx) ** 2) + jnp.mean((pvz - ovz) ** 2)
+    if scheme == "fused":
+        from physicsbasedfwi2_tpu.ops.pallas_elastic_fused import (
+            fused_elastic_loss_grad, scatter_rows_el,
+            simulate_elastic_ring)
+        ovx, ovz = simulate_elastic_ring(vp_t, vs, rho, wav, *geom,
+                                         ecfg)
+        orx = scatter_rows_el(ovx, geom[3], ecfg, KC=8)
+        orz = scatter_rows_el(ovz, geom[3], ecfg, KC=8)
+
+        def value_and_grad_fn(vp_, vs_):
+            loss, g = fused_elastic_loss_grad(
+                vp_, vs_, rho, wav, *geom, ecfg, orx, orz, KC=8,
+                wrt=("vp", "vs"))
+            return loss, g["vp"], g["vs"]
+    else:
+        sim = simulate_elastic_fast if scheme == "fast" \
+            else simulate_elastic
+        ovx, ovz = sim(vp_t, vs, rho, wav, *geom, ecfg)
+
+        def loss_fn(vp_, vs_):
+            pvx, pvz = sim(vp_, vs_, rho, wav, *geom, ecfg)
+            return (jnp.mean((pvx - ovx) ** 2)
+                    + jnp.mean((pvz - ovz) ** 2))
+
+        def value_and_grad_fn(vp_, vs_):
+            loss, (gvp, gvs) = jax.value_and_grad(
+                loss_fn, argnums=(0, 1))(vp_, vs_)
+            return loss, gvp, gvs
 
     @jax.jit
     def chain(vp_, vs_, n):
         def body(i, carry):
             vp_, vs_, acc = carry
-            loss, (gvp, gvs) = jax.value_and_grad(
-                loss_fn, argnums=(0, 1))(vp_, vs_)
+            loss, gvp, gvs = value_and_grad_fn(vp_, vs_)
             return (vp_ - 1e-3 * gvp, vs_ - 1e-3 * gvs, acc + loss)
 
         vp_, vs_, acc = jax.lax.fori_loop(0, n, body, (vp_, vs_, 0.0))
         return acc
 
     assert jnp.isfinite(float(chain(vp, vs, 1)))  # compile + warm
-    n = 5
+    n = 10
     t0 = time.perf_counter()
     total = float(chain(vp, vs, n))
     assert jnp.isfinite(total)
@@ -189,10 +214,24 @@ def main():
         "vs_baseline": round(BASELINE_IT_LAP / dt_iter, 2),
     }), flush=True)
 
+    el_scheme = "fused" if on_tpu else "fast"
     try:
-        dt_el = run_elastic("fast")
+        dt_el = run_elastic(el_scheme)
+    except Exception as e:
+        print(f"[bench] elastic {el_scheme} failed "
+              f"({type(e).__name__}: {e}); falling back to fast",
+              file=sys.stderr)
+        el_scheme = "fast"
+        try:
+            dt_el = run_elastic(el_scheme)
+        except Exception as e2:
+            print(f"[bench] elastic bench failed "
+                  f"({type(e2).__name__}: {e2})", file=sys.stderr)
+            dt_el = None
+    if dt_el is not None:
         print(json.dumps({
-            "metric": "marmousi_elastic_fwi_iteration_wallclock_fast",
+            "metric": ("marmousi_elastic_fwi_iteration_wallclock_"
+                       + el_scheme),
             "value": round(dt_el, 5),
             "unit": "s",
             "vs_baseline": round(ELASTIC_R1_XLA_PML / dt_el, 2),
@@ -201,9 +240,6 @@ def main():
                         "(30-rank MPI, typically tens of seconds)",
             "workload": "5 shots x 5.0s x 100x300 P-SV fwd+adjoint",
         }), flush=True)
-    except Exception as e:
-        print(f"[bench] elastic bench failed ({type(e).__name__}: {e})",
-              file=sys.stderr)
 
 
 if __name__ == "__main__":

@@ -570,22 +570,35 @@ class ElasticDIPEngine(EngineBase):
             num_shots=cfg.num_shots, num_receivers=cfg.num_receivers,
             seed=cfg.seed, chunk=cfg.chunk,
             free_surface=cfg.free_surface, water_rows=cfg.water_rows)
-        # fast path: 5-field sponge scheme (elastic_fast) — operator
-        # consistency mirrors the acoustic engine: synthetic obs are
-        # regenerated with the same operator the inversion uses
-        self._use_fast = cfg.backend in ("auto", "fast")
-        if self._use_fast:
+        # fast paths (operator consistency mirrors the acoustic
+        # engine: synthetic obs are regenerated with the operator the
+        # inversion uses):
+        # - TPU: fused Pallas loss+grad kernel (pallas_elastic_fused)
+        # - otherwise: 5-field sponge XLA scheme (elastic_fast)
+        import numpy as _np
+        rcv_z_np = _np.asarray(self.wl.geom[2])
+        single_row = bool((rcv_z_np == rcv_z_np[:, :1]).all())
+        self._use_fused = (cfg.backend in ("auto", "pallas")
+                           and single_row
+                           and jax.devices()[0].platform == "tpu")
+        self._use_fast = cfg.backend in ("auto", "fast", "pallas")
+        if self._use_fused:
+            from physicsbasedfwi2_tpu.ops.pallas_elastic_fused import (
+                simulate_elastic_ring)
+            self._sim = simulate_elastic_ring
+        elif self._use_fast:
             from physicsbasedfwi2_tpu.ops.elastic_fast import (
                 simulate_elastic_fast)
             self._sim = simulate_elastic_fast
-            if not getattr(self.wl, "from_disk", False):
-                wl = self.wl
-                ovx, ovz = self._sim(
-                    wl.true["vp"], wl.true["vs"], wl.true["rho"],
-                    wl.wavelet, *wl.geom, wl.cfg)
-                wl.obs_vx, wl.obs_vz = ovx, ovz
         else:
             self._sim = simulate_elastic
+        if ((self._use_fused or self._use_fast)
+                and not getattr(self.wl, "from_disk", False)):
+            wl = self.wl
+            ovx, ovz = self._sim(
+                wl.true["vp"], wl.true["vs"], wl.true["rho"],
+                wl.wavelet, *wl.geom, wl.cfg)
+            wl.obs_vx, wl.obs_vz = ovx, ovz
         self.net = define_generator(
             cfg.netG, out_shape=(cfg.nz, cfg.nx), latent_dim=cfg.latent_dim,
             filters=cfg.filters, time_decimation=cfg.time_decimation,
@@ -658,6 +671,33 @@ class ElasticDIPEngine(EngineBase):
         ovz = ovz_all[shot_idx]
         return jnp.mean((pvx - ovx) ** 2) + jnp.mean((pvz - ovz) ** 2)
 
+    def _fused_value_and_grad(self, m, fc, shot_idx):
+        """(loss, dJ/dm) from the fused Pallas kernel on the selected
+        shot subset (replaces the whole DENISE d.grad call)."""
+        from physicsbasedfwi2_tpu.ops.pallas_elastic_fused import (
+            fused_elastic_loss_grad, scatter_rows_el)
+        wl = self.wl
+        key = ("rows", float(fc or 0.0))
+        if key not in self._stage_cache:
+            wav, ovx, ovz = self._stage_data(fc)
+            self._stage_cache[key] = (
+                wav, scatter_rows_el(ovx, wl.geom[3], wl.cfg, KC=8),
+                scatter_rows_el(ovz, wl.geom[3], wl.cfg, KC=8))
+        wav, orx, orz = self._stage_cache[key]
+        sz = wl.geom[0][shot_idx]
+        sx = wl.geom[1][shot_idx]
+        rz = wl.geom[2][shot_idx]
+        rx = wl.geom[3][shot_idx]
+        if wav.ndim == 2:
+            wav = wav[shot_idx]
+        vp, vs = m[..., 0], m[..., 1]
+        rho = m[..., 2] if self.n_fields == 3 else wl.start["rho"]
+        names = ("vp", "vs", "rho")[: self.n_fields]
+        loss, grads = fused_elastic_loss_grad(
+            vp, vs, rho, wav, sz, sx, rz, rx, wl.cfg,
+            orx[shot_idx], orz[shot_idx], KC=8, wrt=names)
+        return loss, jnp.stack([grads[k] for k in names], -1)
+
     def _make_physics_loss(self, fc):
         """Per-field gradient post-processing chain (networks.py:
         7799-7862): top-rows taper + per-field rescale to the model
@@ -665,14 +705,18 @@ class ElasticDIPEngine(EngineBase):
         cfg = self.cfg
         raw = self._physics_loss_raw
         n_fields = self.n_fields
+        use_fused = self._use_fused
 
         @jax.custom_vjp
         def physics_loss(m, shot_idx):
             return raw(m, fc, shot_idx)
 
         def fwd(m, shot_idx):
-            loss, gm = jax.value_and_grad(
-                lambda mm: raw(mm, fc, shot_idx))(m)
+            if use_fused:
+                loss, gm = self._fused_value_and_grad(m, fc, shot_idx)
+            else:
+                loss, gm = jax.value_and_grad(
+                    lambda mm: raw(mm, fc, shot_idx))(m)
             cols = []
             for k in range(n_fields):
                 g = taper_top(gm[..., k], cfg.water_rows)

@@ -161,6 +161,8 @@ def _kernel(src_z, src_x, rcv_row, wav_sm, rcv_x_sm,
     rmask = jnp.minimum(rmask, 1.0)
     row_i = jax.lax.broadcasted_iota(jnp.int32, (vx.shape[0], 1), 0)
     fs = (row_i != fs_row).astype(jnp.float32) if fs_row >= 0 else None
+    # 2D source-cell mask (Mosaic cannot dynamic_slice values)
+    src_mask2d = ((row_i == sz_i).astype(jnp.float32) * src_onehot)
     onehot00 = ((jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0) == 0)
                 & (jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1) == 0)
                 ).astype(jnp.float32)
@@ -300,14 +302,9 @@ def _kernel(src_z, src_x, rcv_row, wav_sm, rcv_x_sm,
             gl2m_out[:] = gl2m_out[:] + dtx * a * damp * Sxx[:]
             glam_out[:] = glam_out[:] + dtx * b * damp * Sxx[:]
             # source-gain chain: s_t = amp*dt_invdx2*l2m[src]*onehot
-            # (w4 is a value: pl.ds is refs-only, use dynamic_slice)
-            w4_src = jax.lax.dynamic_slice(
-                w4, (sz_i, 0), (1, w4.shape[1]))
-            src_cot = jnp.sum((Sxx[pl.ds(sz_i, 1), :] + w4_src)
-                              * src_onehot)
-            gl2m_out[pl.ds(sz_i, 1), :] = (
-                gl2m_out[pl.ds(sz_i, 1), :]
-                + (amp * dt_invdx2 * src_cot) * src_onehot)
+            src_cot = jnp.sum((Sxx[:] + w4) * src_mask2d)
+            gl2m_out[:] = (gl2m_out[:]
+                           + (amp * dt_invdx2 * src_cot) * src_mask2d)
             # 4. a = Dxb(vx'), b = Dzb(vz')
             Vx[:] = Vx[:] - _dx_fwd(abar)
             Vz[:] = Vz[:] - _dz_fwd(bbar)

@@ -48,11 +48,17 @@ EPS = 1e-10
 
 
 def _kernel(src_z, src_x, rcv_row, wav_sm, rcv_x_sm,
-            K_ref, dp_ref, dm_ref, obs_hbm, dir_hbm,
-            loss_out, gk_out, ckpt_hbm,
-            u0, um1, pb, qb, gk, lap_buf, hist, chunk_io, sem,
-            *, nt: int, n_ck: int, KC: int, nxp: int, nr: int,
-            inv_count: float):
+            K_ref, dp_ref, dm_ref, obs_hbm, dir_hbm, *refs,
+            nt: int, n_ck: int, KC: int, nxp: int, nr: int,
+            inv_count: float, want_gwav: bool = False):
+    if want_gwav:
+        (loss_out, gk_out, ckpt_hbm, gwav_hbm,
+         u0, um1, pb, qb, gk, lap_buf, hist, chunk_io, sem,
+         gw_buf) = refs
+    else:
+        (loss_out, gk_out, ckpt_hbm,
+         u0, um1, pb, qb, gk, lap_buf, hist, chunk_io, sem) = refs
+        gwav_hbm = gw_buf = None
     shot = pl.program_id(0)
     sz = src_z[shot]
     sx = src_x[shot]
@@ -210,6 +216,14 @@ def _kernel(src_z, src_x, rcv_row, wav_sm, rcv_x_sm,
             gk[pl.ds(sz, 1), :] = (gk[pl.ds(sz, 1), :]
                                    + amp * pb[pl.ds(sz, 1), :]
                                    * src_onehot)
+            if gw_buf is not None:
+                # wavelet gradient: d amp_t = src_gain * pb[src]
+                # (the source is added AFTER damping in the forward,
+                # so its cotangent is pb directly)
+                s = jnp.sum(pb[pl.ds(sz, 1), :] * src_onehot) * src_gain
+                col0 = (jax.lax.broadcasted_iota(
+                    jnp.int32, (1, 128), 1) == 0).astype(jnp.float32)
+                gw_buf[pl.ds(kk, 1), :] = s * col0
             gk[:] = gk[:] + w * lap_buf[pl.ds(kk, 1)][0]
             ub0 = qb[:] + 2.0 * w + _lap(K * w)
             ubm1 = -(dm * w)
@@ -218,6 +232,10 @@ def _kernel(src_z, src_x, rcv_row, wav_sm, rcv_x_sm,
             return 0
 
         jax.lax.fori_loop(0, KC, adj, 0)
+        if gw_buf is not None:
+            cp = pltpu.make_async_copy(gw_buf, gwav_hbm.at[shot, c], sem)
+            cp.start()
+            cp.wait()
         return 0
 
     jax.lax.fori_loop(0, n_ck, bwd_chunk, 0)
@@ -226,9 +244,10 @@ def _kernel(src_z, src_x, rcv_row, wav_sm, rcv_x_sm,
 
 def fwi_l1_loss_grad(vp, wavelet, src_z, src_x, rcv_z, rcv_x,
                      cfg: AcousticConfig, obs_rows, dir_rows,
-                     *, KC: int = 16):
-    """(loss, dJ/dvp) for the reference's trace-normalized L1 misfit
-    with direct-wave removal, computed by the fused kernel.
+                     *, KC: int = 16, want_wavelet_grad: bool = False):
+    """(loss, dJ/dvp[, dJ/dwavelet]) for the reference's
+    trace-normalized L1 misfit with direct-wave removal, computed by
+    the fused kernel.
 
     Args:
         obs_rows: [ns, nt_pad, nx128] trace-normalized observed data
@@ -237,6 +256,9 @@ def fwi_l1_loss_grad(vp, wavelet, src_z, src_x, rcv_z, rcv_x,
         dir_rows: [ns, nt_pad, nx128] direct-wave (constant-model)
             prediction rows, same layout (use
             :func:`direct_rows_from_recs` or raw row histories).
+        want_wavelet_grad: also return dJ/dwavelet [ns, nt] (the
+            AutoWav source-side gradient path; compiles a separate
+            kernel variant).
     """
     g = cfg.grid
     ns = int(src_z.shape[0])
@@ -256,43 +278,53 @@ def fwi_l1_loss_grad(vp, wavelet, src_z, src_x, rcv_z, rcv_x,
     inv_count = 1.0 / float(ns * g.nt * nr)
 
     kern = functools.partial(_kernel, nt=g.nt, n_ck=n_ck, KC=KC,
-                             nxp=nx128, nr=nr, inv_count=inv_count)
+                             nxp=nx128, nr=nr, inv_count=inv_count,
+                             want_gwav=want_wavelet_grad)
     spec = pl.BlockSpec((nz8, nx128), lambda i, *_: (0, 0),
                         memory_space=pltpu.VMEM)
+    out_specs = [
+        pl.BlockSpec((8, 128), lambda i, *_: (0, 0),
+                     memory_space=pltpu.VMEM),        # loss
+        spec,                                          # gk
+        pl.BlockSpec(memory_space=pltpu.ANY),          # ckpt
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct((8, 128), jnp.float32),
+        jax.ShapeDtypeStruct((nz8, nx128), jnp.float32),
+        jax.ShapeDtypeStruct((ns, n_ck, 2, nz8, nx128), jnp.float32),
+    ]
+    scratch = [
+        pltpu.VMEM((nz8, nx128), jnp.float32),  # u0
+        pltpu.VMEM((nz8, nx128), jnp.float32),  # um1
+        pltpu.VMEM((nz8, nx128), jnp.float32),  # pb
+        pltpu.VMEM((nz8, nx128), jnp.float32),  # qb
+        pltpu.VMEM((nz8, nx128), jnp.float32),  # gk
+        pltpu.VMEM((KC, nz8, nx128), jnp.float32),  # lap cache
+        pltpu.VMEM((nt_pad, nx128), jnp.float32),   # hist/ybar
+        pltpu.VMEM((KC, nx128), jnp.float32),       # chunk io
+        pltpu.SemaphoreType.DMA(()),
+    ]
+    if want_wavelet_grad:
+        out_specs.append(pl.BlockSpec(memory_space=pltpu.ANY))  # gwav
+        out_shape.append(
+            jax.ShapeDtypeStruct((ns, n_ck, KC, 128), jnp.float32))
+        scratch.append(pltpu.VMEM((KC, 128), jnp.float32))  # gw_buf
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=5,
         grid=(ns,),
         in_specs=[spec, spec, spec,
                   pl.BlockSpec(memory_space=pltpu.ANY),   # obs rows
                   pl.BlockSpec(memory_space=pltpu.ANY)],  # direct rows
-        out_specs=(
-            pl.BlockSpec((8, 128), lambda i, *_: (0, 0),
-                         memory_space=pltpu.VMEM),        # loss
-            spec,                                          # gk
-            pl.BlockSpec(memory_space=pltpu.ANY),          # ckpt
-        ),
-        scratch_shapes=[
-            pltpu.VMEM((nz8, nx128), jnp.float32),  # u0
-            pltpu.VMEM((nz8, nx128), jnp.float32),  # um1
-            pltpu.VMEM((nz8, nx128), jnp.float32),  # pb
-            pltpu.VMEM((nz8, nx128), jnp.float32),  # qb
-            pltpu.VMEM((nz8, nx128), jnp.float32),  # gk
-            pltpu.VMEM((KC, nz8, nx128), jnp.float32),  # lap cache
-            pltpu.VMEM((nt_pad, nx128), jnp.float32),   # hist/ybar
-            pltpu.VMEM((KC, nx128), jnp.float32),       # chunk io
-            pltpu.SemaphoreType.DMA(()),
-        ],
+        out_specs=tuple(out_specs),
+        scratch_shapes=scratch,
     )
-    loss_blk, gk, _ = pl.pallas_call(
+    out = pl.pallas_call(
         kern, grid_spec=grid_spec,
-        out_shape=(
-            jax.ShapeDtypeStruct((8, 128), jnp.float32),
-            jax.ShapeDtypeStruct((nz8, nx128), jnp.float32),
-            jax.ShapeDtypeStruct((ns, n_ck, 2, nz8, nx128), jnp.float32),
-        ),
+        out_shape=tuple(out_shape),
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
     )(src_z_p, src_x_p, rcv_row, wav, rcv_cols,
       K2d, dp, dm, obs_rows, dir_rows)
+    loss_blk, gk = out[0], out[1]
 
     loss = loss_blk[0, 0]
     # chain rule K=(vp dt/dx)^2 and edge-pad transpose
@@ -310,6 +342,9 @@ def fwi_l1_loss_grad(vp, wavelet, src_z, src_x, rcv_z, rcv_x,
     gz = gz[:, w : w + g.nx]
     gz = gz.at[:, 0].add(col_l)
     gz = gz.at[:, -1].add(col_r)
+    if want_wavelet_grad:
+        gwav = out[3][..., 0].reshape(ns, nt_pad)[:, : g.nt]
+        return loss, gz, gwav
     return loss, gz
 
 

@@ -3,4 +3,4 @@
 # of the same name, mapped onto the TPU-native workload registry.
 set -e
 cd "$(dirname "$0")/.."
-python -m physicsbasedfwi2_tpu.engine.train --workload marmousi_acoustic_nf "$@"
+python -m physicsbasedfwi2_tpu.engine.train --workload marmousi_impedance "$@"

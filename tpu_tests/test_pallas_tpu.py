@@ -143,3 +143,90 @@ def test_fused_loss_grad_matches_custom_vjp():
     assert abs(float(lr - lf)) / abs(float(lr)) < 1e-5
     gr, gf = np.asarray(gr, np.float64), np.asarray(gf, np.float64)
     assert np.abs(gr - gf).max() / np.abs(gr).max() < 1e-5
+
+
+def test_fused_wavelet_gradient_fd():
+    """want_wavelet_grad path of the fused kernel: directional FD of
+    the kernel's own loss w.r.t. the wavelet matches the returned
+    dJ/dwavelet (the AutoWav source-side gradient, VERDICT r1 #4)."""
+    from physicsbasedfwi2_tpu.ops.pallas_scalar2 import forward2
+    from physicsbasedfwi2_tpu.ops.pallas_fwi_fused import (
+        fwi_l1_loss_grad, scatter_rows)
+    from physicsbasedfwi2_tpu.ops import trace_normalize
+
+    cfg, wav, vp, geom = setup(nz=48, nx=64, nt=320)
+    g = cfg.grid
+    vpt = vp.at[20:30, 25:45].add(200.0)
+    obs = forward2(vpt, wav, *geom, cfg)
+    obs_norm = trace_normalize(obs)
+    obs_rows = scatter_rows(obs_norm, geom[3], nt=g.nt, nx=g.nx,
+                            pml_width=g.pml_width)
+    dir_rows = jnp.zeros_like(obs_rows)
+    ns = geom[0].shape[0]
+    wav2 = jnp.broadcast_to(wav[None, :], (ns, g.nt))
+
+    def loss_of_wav(w_):
+        return fwi_l1_loss_grad(vp, w_, *geom, cfg, obs_rows,
+                                dir_rows)[0]
+
+    loss, gvp, gwav = fwi_l1_loss_grad(
+        vp, wav2, *geom, cfg, obs_rows, dir_rows,
+        want_wavelet_grad=True)
+    assert gwav.shape == (ns, g.nt)
+    rng = np.random.default_rng(0)
+    d = rng.standard_normal((ns, g.nt))
+    for _ in range(2):
+        d[:, 1:-1] = 0.25 * (d[:, 2:] + d[:, :-2]) + 0.5 * d[:, 1:-1]
+    d = jnp.asarray(d / np.abs(d).max(), jnp.float32)
+    eps = 1e-3 * float(jnp.abs(wav).max())
+    fd = (float(loss_of_wav(wav2 + eps * d))
+          - float(loss_of_wav(wav2 - eps * d))) / (2 * eps)
+    ad = float(jnp.vdot(gwav, d))
+    rel = abs(fd - ad) / max(abs(fd), 1e-20)
+    assert rel < 5e-2, (fd, ad, rel)
+
+
+def test_fused_elastic_kernel_tpu_parity():
+    """Fused elastic loss+grad kernel compiled on hardware vs the
+    exact-scheme JAX replica."""
+    from physicsbasedfwi2_tpu.geo import Grid2D, ricker
+    from physicsbasedfwi2_tpu.ops.elastic import ElasticConfig
+    from physicsbasedfwi2_tpu.ops.pallas_elastic_fused import (
+        prep_medium, prep_damp, scatter_rows_el,
+        fused_elastic_loss_grad_meds, elastic_fused_reference,
+        simulate_elastic_ring)
+    from physicsbasedfwi2_tpu.data.synthetic import (
+        make_marmousi_like, make_elastic_model)
+
+    nz, nx, nt = 48, 64, 128
+    grid = Grid2D(nz=nz, nx=nx, dx=15.0, nt=nt, dt=0.0015,
+                  pml_width=12, free_surface=True)
+    cfg = ElasticConfig(grid=grid, chunk=16, vmax_pml=4000.0)
+    vp = make_marmousi_like(nz, nx, seed=0, water_rows=5)
+    vp_t, vs_t, rho_t = make_elastic_model(vp, water_rows=5)
+    wav = ricker(12.0, nt, 0.0015)
+    ns, nr = 2, 16
+    sz = jnp.asarray([6, 6])
+    sx = jnp.asarray([12, 40])
+    rz = jnp.full((ns, nr), 6, jnp.int32)
+    rx = jnp.tile(jnp.asarray(np.linspace(3, nx - 4, nr,
+                                          dtype=np.int32)), (ns, 1))
+    ovx, ovz = simulate_elastic_ring(
+        jnp.asarray(vp_t), jnp.asarray(vs_t), jnp.asarray(rho_t),
+        wav, sz, sx, rz, rx, cfg)
+    vp_s = jnp.asarray(vp_t) * 0.95
+    meds, _ = jax.vjp(lambda a, b, c: prep_medium(a, b, c, cfg),
+                      vp_s, jnp.asarray(vs_t), jnp.asarray(rho_t))
+    damp = prep_damp(cfg)
+    rl, rg = jax.value_and_grad(
+        lambda m: elastic_fused_reference(m, damp, wav, sz, sx, rz,
+                                          rx, cfg, ovx, ovz))(meds)
+    KC = 8
+    orx = scatter_rows_el(ovx, rx, cfg, KC=KC)
+    orz = scatter_rows_el(ovz, rx, cfg, KC=KC)
+    kl, kg = fused_elastic_loss_grad_meds(
+        meds, damp, wav, sz, sx, rz, rx, cfg, orx, orz, KC=KC)
+    assert abs(float(rl) - float(kl)) <= 1e-4 * abs(float(rl))
+    for a, b in zip(rg, kg):
+        na = float(jnp.max(jnp.abs(a)))
+        assert float(jnp.max(jnp.abs(a - b))) <= 1e-4 * (na + 1e-30)
