@@ -158,6 +158,11 @@ register_workload("marmousi_elastic_lbfgs",
 # density-inversion head (AutoElFullRhoMar22, networks.py:8552-8936)
 register_workload("marmousi_elastic_rho",
                   _EL.replace(netG="AutoElFullRhoMar22"))
+# "Zp" variant — in the reference a vestigial label over the same
+# three-head vp/vs/rho decoder (networks.py:10740-10880); trains through
+# the identical rho-inversion path here
+register_workload("marmousi_elastic_zp",
+                  _EL.replace(netG="AutoElMarZp22"))
 
 # --- BASELINE.json config 4: VAE latent-space inversion ------------------
 register_workload("latent_inversion", ExperimentConfig(

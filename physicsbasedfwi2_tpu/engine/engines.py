@@ -802,14 +802,25 @@ class ElasticDIPEngine(EngineBase):
 
     def mc_realizations(self, n: int, seed: int = 0):
         """MC-dropout posterior sampling (test4d.py:69-79
-        --realization loop): returns stacked model samples."""
-        out = []
-        key = jax.random.PRNGKey(seed)
-        for _ in range(n):
-            key, sub = jax.random.split(key)
-            _, m = self.test(rng=sub)
-            out.append(m)
-        return np.stack(out)
+        --realization loop): returns stacked model samples.
+
+        One jit-compiled vmap over dropout keys — the whole ensemble
+        runs as a single device program instead of n host round
+        trips."""
+        keys = jax.random.split(jax.random.PRNGKey(seed), n)
+
+        @jax.jit
+        def sample(key):
+            deltas, _ = self.net.apply(self.params, self.in_vx,
+                                       self.in_vz, deterministic=False,
+                                       rngs={"dropout": key})
+            m = apply_elastic_output(
+                deltas, self.lowf, self.true_m,
+                delta_scale=self.delta_scale, clip_min=self.clip_min,
+                clip_max=self.clip_max, pin_rows=self.cfg.water_rows)
+            return m[0]
+
+        return np.asarray(jax.vmap(sample)(keys))
 
 
 # ---------------------------------------------------------------------------

@@ -71,9 +71,16 @@ register_generator("Auto22CBAM", AutoEncoderNet, use_cbam=True)
 
 # --- elastic two-branch autoencoders (networks.py:7215ff) ---
 for _n in ["AutoEl22", "AutoElMar22", "AutoElFullMar22", "AutoSEAMMar22",
-           "AutoRealData", "AutoElMarZp22"]:
+           "AutoRealData"]:
     register_generator(_n, ElasticAutoEncoderNet, n_fields=2)
 register_generator("AutoElFullRhoMar22", ElasticAutoEncoderNet, n_fields=3)
+# Despite the name, the reference's AutoElMarmousiMarZp22_Net carries no
+# impedance math: its decoder is three plain vp/vs/rho heads added to the
+# low-frequency model (networks.py:10740-10790 Rhoup33/Rhof13/Rhorho;
+# prop(vp1, vs1, rho1, ...) at 10880) — i.e. the rho-inversion net under
+# a vestigial "Zp" label.  Zp<->(vp,rho) conversions live in
+# ops/impedance.py for the parameterization the name advertises.
+register_generator("AutoElMarZp22", ElasticAutoEncoderNet, n_fields=3)
 register_generator("AutoElMarMCDIP22", ElasticAutoEncoderNet, n_fields=2,
                    dropout=0.1)
 

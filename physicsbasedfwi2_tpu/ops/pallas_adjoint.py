@@ -205,12 +205,12 @@ def _pallas_backward(vp, wavelet, src_z, src_x, rcv_z, rcv_x,
                          memory_space=pltpu.VMEM),  # az_p
             pl.BlockSpec((nz8, nx128), lambda i, *_: (0, 0),
                          memory_space=pltpu.VMEM),  # ring
-            pl.BlockSpec(memory_space=pltpu.ANY),   # ghist (HBM)
+            pl.BlockSpec(memory_space=pl.ANY),   # ghist (HBM)
         ],
         out_specs=(
             pl.BlockSpec((nz8, nx128), lambda i, *_: (0, 0),
                          memory_space=pltpu.VMEM),  # gk accumulator
-            pl.BlockSpec(memory_space=pltpu.ANY),   # ckpt buffer (HBM)
+            pl.BlockSpec(memory_space=pl.ANY),   # ckpt buffer (HBM)
         ),
         scratch_shapes=[
             pltpu.VMEM((nz8, nx128), jnp.float32),  # vx

@@ -370,12 +370,12 @@ def fused_elastic_loss_grad_meds(meds, damp, wavelet, src_z, src_x,
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=5,
         grid=(ns,),
-        in_specs=[spec] * 6 + [pl.BlockSpec(memory_space=pltpu.ANY)] * 2,
+        in_specs=[spec] * 6 + [pl.BlockSpec(memory_space=pl.ANY)] * 2,
         out_specs=(
             pl.BlockSpec((8, 128), lambda i, *_: (0, 0),
                          memory_space=pltpu.VMEM),          # loss
             spec, spec, spec, spec, spec,                   # 5 grads
-            pl.BlockSpec(memory_space=pltpu.ANY),           # ckpt
+            pl.BlockSpec(memory_space=pl.ANY),           # ckpt
         ),
         scratch_shapes=[fld() for _ in range(10)] + [
             pltpu.VMEM((KC, nz8, nx128), jnp.float32),  # c_t1

@@ -286,7 +286,7 @@ def fwi_l1_loss_grad(vp, wavelet, src_z, src_x, rcv_z, rcv_x,
         pl.BlockSpec((8, 128), lambda i, *_: (0, 0),
                      memory_space=pltpu.VMEM),        # loss
         spec,                                          # gk
-        pl.BlockSpec(memory_space=pltpu.ANY),          # ckpt
+        pl.BlockSpec(memory_space=pl.ANY),          # ckpt
     ]
     out_shape = [
         jax.ShapeDtypeStruct((8, 128), jnp.float32),
@@ -305,7 +305,7 @@ def fwi_l1_loss_grad(vp, wavelet, src_z, src_x, rcv_z, rcv_x,
         pltpu.SemaphoreType.DMA(()),
     ]
     if want_wavelet_grad:
-        out_specs.append(pl.BlockSpec(memory_space=pltpu.ANY))  # gwav
+        out_specs.append(pl.BlockSpec(memory_space=pl.ANY))  # gwav
         out_shape.append(
             jax.ShapeDtypeStruct((ns, n_ck, KC, 128), jnp.float32))
         scratch.append(pltpu.VMEM((KC, 128), jnp.float32))  # gw_buf
@@ -313,8 +313,8 @@ def fwi_l1_loss_grad(vp, wavelet, src_z, src_x, rcv_z, rcv_x,
         num_scalar_prefetch=5,
         grid=(ns,),
         in_specs=[spec, spec, spec,
-                  pl.BlockSpec(memory_space=pltpu.ANY),   # obs rows
-                  pl.BlockSpec(memory_space=pltpu.ANY)],  # direct rows
+                  pl.BlockSpec(memory_space=pl.ANY),   # obs rows
+                  pl.BlockSpec(memory_space=pl.ANY)],  # direct rows
         out_specs=tuple(out_specs),
         scratch_shapes=scratch,
     )

@@ -315,7 +315,7 @@ def forward2_ckpt(vp, wavelet, src_z, src_x, rcv_z, rcv_x,
         out_specs=(
             pl.BlockSpec((1, nt_pad, nx128), lambda i, *_: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ),
         scratch_shapes=[
             pltpu.VMEM((nz8, nx128), jnp.float32),
@@ -352,8 +352,8 @@ def _backward2(vp, wavelet, src_z, src_x, rcv_z, rcv_x, cfg, ybar_rows,
         num_scalar_prefetch=4,
         grid=(ns,),
         in_specs=[_vmem_spec(nz8, nx128)] * 3 + [
-            pl.BlockSpec(memory_space=pltpu.ANY),   # ghist
-            pl.BlockSpec(memory_space=pltpu.ANY),   # ckpt
+            pl.BlockSpec(memory_space=pl.ANY),   # ghist
+            pl.BlockSpec(memory_space=pl.ANY),   # ckpt
         ],
         out_specs=_vmem_spec(nz8, nx128),
         scratch_shapes=[

@@ -236,8 +236,8 @@ def forward2b(vp, wavelet, src_z, src_x, rcv_z, rcv_x,
         grid=(nblk,),
         in_specs=[spec3, spec3, spec3],
         out_specs=(
-            pl.BlockSpec(memory_space=pltpu.ANY),   # hist (HBM)
-            pl.BlockSpec(memory_space=pltpu.ANY),   # ckpt (HBM)
+            pl.BlockSpec(memory_space=pl.ANY),   # hist (HBM)
+            pl.BlockSpec(memory_space=pl.ANY),   # ckpt (HBM)
         ),
         scratch_shapes=[
             pltpu.VMEM((B, nz8, nx128), jnp.float32),
@@ -283,8 +283,8 @@ def _backward2b(vp, wavelet, src_z, src_x, rcv_z, rcv_x, cfg,
         num_scalar_prefetch=4,
         grid=(nblk,),
         in_specs=[spec3, spec3, spec3,
-                  pl.BlockSpec(memory_space=pltpu.ANY),   # ghist
-                  pl.BlockSpec(memory_space=pltpu.ANY)],  # ckpt
+                  pl.BlockSpec(memory_space=pl.ANY),   # ghist
+                  pl.BlockSpec(memory_space=pl.ANY)],  # ckpt
         out_specs=pl.BlockSpec((nz8, nx128), lambda i, *_: (0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
