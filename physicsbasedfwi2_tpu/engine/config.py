@@ -197,6 +197,17 @@ register_workload("unet_ssim_baseline", ExperimentConfig(
     engine="supervised", netG="unet_128", dataset_mode="unalignedAC2",
     lr=2e-4, extras={"gan_mode": "none", "lambda_l1": 100.0,
                      "ssim_window": 5}))
+# multi-channel GAN variants over the B/D and B/D/E letter combos
+# (ref unalignedBD2_dataset.py / unalignedBDE2_dataset.py); the
+# supervised loop is letter-generic so these differ only by mode
+register_workload("pix2pix_bd", ExperimentConfig(
+    engine="supervised", netG="unet_128", dataset_mode="unalignedBD2",
+    lr=2e-4, beta1=0.5,
+    extras={"gan_mode": "lsgan", "lambda_l1": 10.0}))
+register_workload("pix2pix_bde", ExperimentConfig(
+    engine="supervised", netG="unet_128", dataset_mode="unalignedBDE2",
+    lr=2e-4, beta1=0.5,
+    extras={"gan_mode": "lsgan", "lambda_l1": 10.0}))
 # Fourier-neural-operator supervised baseline (RUnet_FNO.py)
 register_workload("fno_baseline", ExperimentConfig(
     engine="supervised", netG="FNO", dataset_mode="unaligned2",

@@ -102,7 +102,8 @@ class CycleGanEngine:
         dp, self.d_state, dl = self._d_step(dp, self.d_state, a, b, fa, fb)
         self.params.update(gp)
         self.params.update(dp)
-        return {"loss_G": float(gl), "loss_D": float(dl)}
+        gl, dl = map(float, jax.device_get((gl, dl)))
+        return {"loss_G": gl, "loss_D": dl}
 
     def translate(self, a):
         return self.G.apply(self.params["G"], a)

@@ -255,15 +255,16 @@ class AcousticDIPEngine(EngineBase):
             seed=cfg.seed + 101, chunk=cfg.chunk)
 
     # -- physics loss with reference-style gradient post-processing --
-    def _physics_loss_raw(self, vp):
+    def _physics_loss_raw(self, vp, pd):
         """Reference misfit pipeline (networks.py:5467-5476): subtract
         the constant-model direct wave from pred, trace-normalize,
-        L1/L2 against the (raw-normalized) observed data."""
+        L1/L2 against the (raw-normalized) observed data.  ``pd`` is
+        the physics-data pytree from :meth:`_make_physics_loss`."""
         cfg, wl = self.cfg, self.wl
         pred = simulate_acoustic(vp, wl.wavelet, *wl.geom, wl.cfg)
         from physicsbasedfwi2_tpu.ops.misfit import normalized_trace_misfit
-        return normalized_trace_misfit(pred, wl.obs_norm,
-                                       direct=self._direct,
+        return normalized_trace_misfit(pred, pd["obs_norm"],
+                                       direct=pd["direct"],
                                        kind=cfg.misfit)
 
     def _make_physics_loss(self):
@@ -271,13 +272,21 @@ class AcousticDIPEngine(EngineBase):
         VJP (networks.py:5491-5493 + Auto22_model.py:300): dJ/dvp is
         depth^2-weighted, water-masked and scaled before injection
         into the generator's autodiff.  With a mesh, the (loss, grad)
-        pair comes from the shot-sharded shard_map path."""
+        pair comes from the shot-sharded shard_map path.
+
+        Returns ``(physics_loss, pd)``: the observed-data arrays ride
+        in the ``pd`` pytree and must be passed to the jitted step as
+        ARGUMENTS, never closed over — closed-over device arrays get
+        embedded in the serialized HLO as literal constants, bloating
+        every compile by the size of the dataset (at elastic scale
+        this overflows the container's remote-compile request limit)."""
         cfg = self.cfg
         raw = self._physics_loss_raw
         true_model = self.wl.vp_true
         mesh = self.mesh
         wl = self.wl
         use_fused = self._use_fused
+        pd = {"obs_norm": wl.obs_norm, "direct": self._direct}
         if use_fused:
             from physicsbasedfwi2_tpu.ops.pallas_fwi_fused import (
                 fwi_l1_loss_grad, scatter_rows)
@@ -290,41 +299,49 @@ class AcousticDIPEngine(EngineBase):
                                    ((0, 0), (0, pad_t), (0, 0)))
             else:
                 dir_rows = jnp.zeros_like(obs_rows)
-
-        def value_and_grad_physics(vp):
-            if use_fused:
-                return fwi_l1_loss_grad(vp, wl.wavelet, *wl.geom,
-                                        wl.cfg, obs_rows, dir_rows)
-            if mesh is None:
-                return jax.value_and_grad(raw)(vp)
-            from physicsbasedfwi2_tpu.parallel import (
-                shot_sharded_acoustic_gradient, pad_shots_to_multiple)
-            nd = mesh.shape["shot"]
+            pd.update(obs_rows=obs_rows, dir_rows=dir_rows)
+        elif mesh is not None:
+            from physicsbasedfwi2_tpu.parallel import pad_shots_to_multiple
             pad_list = [*wl.geom, wl.obs_norm]
             if self._direct is not None:
                 pad_list.append(self._direct)
-            padded, mask = pad_shots_to_multiple(pad_list, nd)
-            sz, sx, rz, rx, obs = padded[:5]
-            direct = padded[5] if self._direct is not None else None
+            padded, mask = pad_shots_to_multiple(pad_list,
+                                                 mesh.shape["shot"])
+            pd.update(padded=list(padded), mask=mask)
+
+        def value_and_grad_physics(vp, pd):
+            if use_fused:
+                return fwi_l1_loss_grad(vp, wl.wavelet, *wl.geom,
+                                        wl.cfg, pd["obs_rows"],
+                                        pd["dir_rows"])
+            if mesh is None:
+                return jax.value_and_grad(raw)(vp, pd)
+            from physicsbasedfwi2_tpu.parallel import (
+                shot_sharded_acoustic_gradient)
+            sz, sx, rz, rx, obs = pd["padded"][:5]
+            direct = (pd["padded"][5] if self._direct is not None
+                      else None)
             return shot_sharded_acoustic_gradient(
                 mesh, vp, obs, wl.wavelet, sz, sx, rz, rx, wl.cfg,
-                misfit=cfg.misfit, shot_mask=mask, direct=direct)
+                misfit=cfg.misfit, shot_mask=pd["mask"], direct=direct)
 
         @jax.custom_vjp
-        def physics_loss(vp):
-            return raw(vp)
+        def physics_loss(vp, pd):
+            return raw(vp, pd)
 
-        def fwd(vp):
-            loss, grad = value_and_grad_physics(vp)
+        def fwd(vp, pd):
+            loss, grad = value_and_grad_physics(vp, pd)
             grad = depth_weighting(grad, 2.0)
             grad = water_mask(grad, true_model, cfg.water_vel)
-            return loss, grad * cfg.grad_scale
+            return loss, (grad * cfg.grad_scale, pd)
 
-        def bwd(grad, g):
-            return (g * grad,)
+        def bwd(res, g):
+            grad, pd = res
+            return (g * grad,
+                    jax.tree_util.tree_map(jnp.zeros_like, pd))
 
         physics_loss.defvjp(fwd, bwd)
-        return physics_loss
+        return physics_loss, pd
 
     def _apply_net(self, params, *, deterministic=True, rng=None,
                    shots_in=None):
@@ -342,17 +359,22 @@ class AcousticDIPEngine(EngineBase):
 
     def _build_steps(self):
         cfg = self.cfg
-        physics_loss = self._make_physics_loss()
+        physics_loss, phys_pd = self._make_physics_loss()
+        # all large arrays enter the jitted steps as this argument
+        # pytree (see _make_physics_loss for why closures won't do)
+        self._pack = {"shots_in": self.shots_in, "true_b": self.true_b,
+                      "vp_true": self.wl.vp_true, "phys": phys_pd}
 
-        def total_loss(params, use_physics, rng):
+        def total_loss(params, use_physics, rng, pack):
             out = self._apply_net(
-                params,
+                params, shots_in=pack["shots_in"],
                 deterministic=cfg.dropout == 0 and not self.is_vae,
                 rng=rng if (cfg.dropout > 0 or self.is_vae) else None)
-            vp = apply_velocity_output(out.field, self.true_b,
+            vp = apply_velocity_output(out.field, pack["true_b"],
                                        water_vel=cfg.water_vel)[0, :, :, 0]
-            model_mse = jnp.mean((vp - self.wl.vp_true) ** 2)
-            loss = jnp.where(use_physics, physics_loss(vp), 0.0)
+            model_mse = jnp.mean((vp - pack["vp_true"]) ** 2)
+            loss = jnp.where(use_physics,
+                             physics_loss(vp, pack["phys"]), 0.0)
             if cfg.supervised_weight > 0:
                 loss = loss + cfg.supervised_weight * model_mse
             elif not cfg.lstart == 0:
@@ -374,13 +396,15 @@ class AcousticDIPEngine(EngineBase):
             return loss, (model_mse, vp)
 
         @functools.partial(jax.jit, static_argnames=("use_physics",))
-        def train_step(params, opt_state, rng, use_physics: bool):
+        def train_step(params, opt_state, rng, use_physics: bool, pack):
             (loss, (model_mse, vp)), grads = jax.value_and_grad(
-                total_loss, has_aux=True)(params, use_physics, rng)
+                total_loss, has_aux=True)(params, use_physics, rng,
+                                          pack)
             if cfg.optimizer == "lbfgs":
                 updates, opt_state = self.opt.update(
                     grads, opt_state, params, value=loss, grad=grads,
-                    value_fn=lambda p: total_loss(p, use_physics, rng)[0])
+                    value_fn=lambda p: total_loss(p, use_physics, rng,
+                                                  pack)[0])
             else:
                 updates, opt_state = self.opt.update(grads, opt_state,
                                                      params)
@@ -397,14 +421,16 @@ class AcousticDIPEngine(EngineBase):
         else:
             val_in, val_true_b, val_true = (self.shots_in, self.true_b,
                                             self.wl.vp_true)
+        self._eval_pack = {"val_in": val_in, "val_true_b": val_true_b,
+                           "val_true": val_true}
 
         @jax.jit
-        def eval_step(params):
+        def eval_step(params, epack):
             out = self._apply_net(params, deterministic=True,
-                                  shots_in=val_in)
-            vp = apply_velocity_output(out.field, val_true_b,
+                                  shots_in=epack["val_in"])
+            vp = apply_velocity_output(out.field, epack["val_true_b"],
                                        water_vel=cfg.water_vel)[0, :, :, 0]
-            return jnp.mean((vp - val_true) ** 2), vp
+            return jnp.mean((vp - epack["val_true"]) ** 2), vp
 
         self._train_step = train_step
         self._eval_step = eval_step
@@ -418,16 +444,20 @@ class AcousticDIPEngine(EngineBase):
         if self.lr_policy is not None:
             _set_lr(self.opt_state, self.lr_policy.lr_for_epoch(epoch))
         self.params, self.opt_state, loss, model_mse = self._train_step(
-            self.params, self.opt_state, sub, use_physics)
-        out = {"loss_D" if use_physics else "loss_M": float(loss),
-               "loss_M_MSE": float(model_mse)}
+            self.params, self.opt_state, sub, use_physics, self._pack)
+        # one host round trip for both scalars (each transfer costs
+        # ~51 ms through this container's device tunnel)
+        loss, model_mse = map(float, jax.device_get((loss, model_mse)))
+        out = {"loss_D" if use_physics else "loss_M": loss,
+               "loss_M_MSE": model_mse}
         if self.lr_policy is not None:
-            out["lr"] = self.lr_policy.after_epoch(float(loss))
+            out["lr"] = self.lr_policy.after_epoch(loss)
         return out
 
     def test(self):
         """Validation (reference model.test + compute_loss_only)."""
-        mse, vp = self._eval_step(self.params)
+        mse, vp = self._eval_step(self.params, self._eval_pack)
+        mse, vp = jax.device_get((mse, vp))
         return {"loss_V_MSE": float(mse)}, np.asarray(vp)
 
 
@@ -473,10 +503,15 @@ class MultiSampleAcousticDIPEngine(EngineBase):
         self.opt_state = self.opt.init(self.params)
         self.lr_policy = LrPolicy(cfg) if cfg.optimizer == "adam" else None
         wl_cfg, geom, wav = wl0.cfg, wl0.geom, wl0.wavelet
-        obs_norm = self.obs_norm
         mis = cfg.misfit
+        # batch data as step arguments (n_samples x 18 shots of
+        # gathers — at reference scale hundreds of MB of would-be
+        # HLO constants; see AcousticDIPEngine._make_physics_loss)
+        self._pack = {"shots_in": self.shots_in, "true_b": self.true_b,
+                      "vp_true": self.vp_true,
+                      "obs_norm": self.obs_norm}
 
-        def raw(vps):
+        def raw(vps, obs_norm):
             def per_sample(vp, obs):
                 pred = simulate_acoustic(vp, wav, *geom, wl_cfg)
                 pred = trace_normalize(pred)
@@ -485,42 +520,45 @@ class MultiSampleAcousticDIPEngine(EngineBase):
                 return jnp.mean(per)
             return jnp.mean(jax.vmap(per_sample)(vps, obs_norm))
 
-        def value_and_grad_physics(vps):
+        def value_and_grad_physics(vps, obs_norm):
             if mesh is None:
-                return jax.value_and_grad(raw)(vps)
+                return jax.value_and_grad(raw)(vps, obs_norm)
             from physicsbasedfwi2_tpu.parallel import (
                 sample_shot_sharded_acoustic_gradient)
             return sample_shot_sharded_acoustic_gradient(
                 mesh, vps, obs_norm, wav, *geom, wl_cfg, misfit=mis)
 
         @jax.custom_vjp
-        def physics_loss(vps):
-            return raw(vps)
+        def physics_loss(vps, obs_norm, vp_true):
+            return raw(vps, obs_norm)
 
-        def fwd(vps):
-            loss, g = value_and_grad_physics(vps)
+        def fwd(vps, obs_norm, vp_true):
+            loss, g = value_and_grad_physics(vps, obs_norm)
             g = jax.vmap(lambda gi, ti: water_mask(
                 depth_weighting(gi, 2.0), ti, cfg.water_vel))(
-                g, self.vp_true)
-            return loss, g * cfg.grad_scale
+                g, vp_true)
+            return loss, (g * cfg.grad_scale, obs_norm, vp_true)
 
         def bwd(res, ct):
-            return (ct * res,)
+            g, obs_norm, vp_true = res
+            return (ct * g, jnp.zeros_like(obs_norm),
+                    jnp.zeros_like(vp_true))
 
         physics_loss.defvjp(fwd, bwd)
 
-        def total_loss(params):
+        def total_loss(params, pack):
             from physicsbasedfwi2_tpu.models import pack_output
-            out = pack_output(self.net.apply(params, self.shots_in))
-            vps = apply_velocity_output(out.field, self.true_b,
+            out = pack_output(self.net.apply(params, pack["shots_in"]))
+            vps = apply_velocity_output(out.field, pack["true_b"],
                                         water_vel=cfg.water_vel)[..., 0]
-            mse = jnp.mean((vps - self.vp_true) ** 2)
-            return physics_loss(vps), mse
+            mse = jnp.mean((vps - pack["vp_true"]) ** 2)
+            return physics_loss(vps, pack["obs_norm"],
+                                pack["vp_true"]), mse
 
         @jax.jit
-        def train_step(params, opt_state):
+        def train_step(params, opt_state, pack):
             (loss, mse), grads = jax.value_and_grad(
-                total_loss, has_aux=True)(params)
+                total_loss, has_aux=True)(params, pack)
             updates, opt_state = self.opt.update(grads, opt_state, params)
             return optax.apply_updates(params, updates), opt_state, \
                 loss, mse
@@ -531,10 +569,11 @@ class MultiSampleAcousticDIPEngine(EngineBase):
         if self.lr_policy is not None:
             _set_lr(self.opt_state, self.lr_policy.lr_for_epoch(epoch))
         self.params, self.opt_state, loss, mse = self._train_step(
-            self.params, self.opt_state)
-        out = {"loss_D": float(loss), "loss_M_MSE": float(mse)}
+            self.params, self.opt_state, self._pack)
+        loss, mse = map(float, jax.device_get((loss, mse)))
+        out = {"loss_D": loss, "loss_M_MSE": mse}
         if self.lr_policy is not None:
-            out["lr"] = self.lr_policy.after_epoch(float(loss))
+            out["lr"] = self.lr_policy.after_epoch(loss)
         return out
 
     def test(self):
@@ -650,14 +689,35 @@ class ElasticDIPEngine(EngineBase):
             self._stage_cache[key] = (wav, ovx, ovz)
         return self._stage_cache[key]
 
-    def _physics_loss_raw(self, m, fc, shot_idx):
+    def _stage_pack(self, fc):
+        """Stage-data pytree passed to the jitted step as an ARGUMENT
+        (same rationale as AcousticDIPEngine._make_physics_loss: the
+        35-shot observed gathers are hundreds of MB — closed over,
+        they would be serialized into the HLO of every compile).
+        Because the step takes the stage data as input, frequency
+        continuation reuses ONE compiled step across all stages."""
+        key = ("pack", float(fc or 0.0))
+        if key not in self._stage_cache:
+            wav, ovx, ovz = self._stage_data(fc)
+            pd = {"wav": wav, "ovx": ovx, "ovz": ovz}
+            if self._use_fused:
+                from physicsbasedfwi2_tpu.ops.pallas_elastic_fused import (
+                    scatter_rows_el)
+                pd["orx"] = scatter_rows_el(ovx, self.wl.geom[3],
+                                            self.wl.cfg, KC=8)
+                pd["orz"] = scatter_rows_el(ovz, self.wl.geom[3],
+                                            self.wl.cfg, KC=8)
+            self._stage_cache[key] = pd
+        return self._stage_cache[key]
+
+    def _physics_loss_raw(self, m, shot_idx, pd):
         """Misfit on a shot subset at the given continuation stage —
         the d.grad() role (networks.py:7787).  ``m`` is the stacked
         [nz, nx, F] model; with F == 2 the density entering the
         simulation is the LOW-FREQUENCY rho (networks.py:7458 — never
         the ground truth)."""
         wl = self.wl
-        wav, ovx_all, ovz_all = self._stage_data(fc)
+        wav = pd["wav"]
         sz = wl.geom[0][shot_idx]
         sx = wl.geom[1][shot_idx]
         rz = wl.geom[2][shot_idx]
@@ -667,23 +727,17 @@ class ElasticDIPEngine(EngineBase):
         vp, vs = m[..., 0], m[..., 1]
         rho = m[..., 2] if self.n_fields == 3 else wl.start["rho"]
         pvx, pvz = self._sim(vp, vs, rho, wav, sz, sx, rz, rx, wl.cfg)
-        ovx = ovx_all[shot_idx]
-        ovz = ovz_all[shot_idx]
+        ovx = pd["ovx"][shot_idx]
+        ovz = pd["ovz"][shot_idx]
         return jnp.mean((pvx - ovx) ** 2) + jnp.mean((pvz - ovz) ** 2)
 
-    def _fused_value_and_grad(self, m, fc, shot_idx):
+    def _fused_value_and_grad(self, m, shot_idx, pd):
         """(loss, dJ/dm) from the fused Pallas kernel on the selected
         shot subset (replaces the whole DENISE d.grad call)."""
         from physicsbasedfwi2_tpu.ops.pallas_elastic_fused import (
-            fused_elastic_loss_grad, scatter_rows_el)
+            fused_elastic_loss_grad)
         wl = self.wl
-        key = ("rows", float(fc or 0.0))
-        if key not in self._stage_cache:
-            wav, ovx, ovz = self._stage_data(fc)
-            self._stage_cache[key] = (
-                wav, scatter_rows_el(ovx, wl.geom[3], wl.cfg, KC=8),
-                scatter_rows_el(ovz, wl.geom[3], wl.cfg, KC=8))
-        wav, orx, orz = self._stage_cache[key]
+        wav = pd["wav"]
         sz = wl.geom[0][shot_idx]
         sx = wl.geom[1][shot_idx]
         rz = wl.geom[2][shot_idx]
@@ -695,10 +749,10 @@ class ElasticDIPEngine(EngineBase):
         names = ("vp", "vs", "rho")[: self.n_fields]
         loss, grads = fused_elastic_loss_grad(
             vp, vs, rho, wav, sz, sx, rz, rx, wl.cfg,
-            orx[shot_idx], orz[shot_idx], KC=8, wrt=names)
+            pd["orx"][shot_idx], pd["orz"][shot_idx], KC=8, wrt=names)
         return loss, jnp.stack([grads[k] for k in names], -1)
 
-    def _make_physics_loss(self, fc):
+    def _make_physics_loss(self):
         """Per-field gradient post-processing chain (networks.py:
         7799-7862): top-rows taper + per-field rescale to the model
         magnitude, over all inverted fields (vp, vs[, rho])."""
@@ -708,66 +762,70 @@ class ElasticDIPEngine(EngineBase):
         use_fused = self._use_fused
 
         @jax.custom_vjp
-        def physics_loss(m, shot_idx):
-            return raw(m, fc, shot_idx)
+        def physics_loss(m, shot_idx, pd):
+            return raw(m, shot_idx, pd)
 
-        def fwd(m, shot_idx):
+        def fwd(m, shot_idx, pd):
             if use_fused:
-                loss, gm = self._fused_value_and_grad(m, fc, shot_idx)
+                loss, gm = self._fused_value_and_grad(m, shot_idx, pd)
             else:
                 loss, gm = jax.value_and_grad(
-                    lambda mm: raw(mm, fc, shot_idx))(m)
+                    lambda mm: raw(mm, shot_idx, pd))(m)
             cols = []
             for k in range(n_fields):
                 g = taper_top(gm[..., k], cfg.water_rows)
                 cols.append(rescale_to_model(g, m[..., k]))
-            return loss, jnp.stack(cols, -1)
+            return loss, (jnp.stack(cols, -1), pd)
 
         def bwd(res, g):
-            return (g * res, None)
+            gm, pd = res
+            return (g * gm, None,
+                    jax.tree_util.tree_map(jnp.zeros_like, pd))
 
         physics_loss.defvjp(fwd, bwd)
         return physics_loss
 
-    def _get_step(self, fc):
-        if fc in self._step_cache:
-            return self._step_cache[fc]
+    def _get_step(self):
+        if "step" in self._step_cache:
+            return self._step_cache["step"]
         cfg = self.cfg
-        physics_loss = self._make_physics_loss(fc)
+        physics_loss = self._make_physics_loss()
 
-        def total_loss(params, shot_idx, rng):
+        def total_loss(params, shot_idx, rng, pack):
             det = cfg.dropout == 0
             rngs = {"dropout": rng} if not det else None
-            deltas, z = self.net.apply(params, self.in_vx, self.in_vz,
+            deltas, z = self.net.apply(params, pack["in_vx"],
+                                       pack["in_vz"],
                                        deterministic=det, rngs=rngs)
             m = apply_elastic_output(
-                deltas, self.lowf, self.true_m,
+                deltas, pack["lowf"], pack["true_m"],
                 delta_scale=self.delta_scale, clip_min=self.clip_min,
                 clip_max=self.clip_max, pin_rows=cfg.water_rows)
-            loss_d = physics_loss(m[0], shot_idx)
+            loss_d = physics_loss(m[0], shot_idx, pack["phys"])
             loss = loss_d
             if cfg.anchor_weight > 0:
                 # low-frequency anchor (AutoElMar22_model.py:312,374)
                 loss = loss + cfg.anchor_weight * jnp.mean(
-                    (m - self.lowf) ** 2) * 1e-6
-            mse = jnp.mean((m - self.true_m) ** 2)
+                    (m - pack["lowf"]) ** 2) * 1e-6
+            mse = jnp.mean((m - pack["true_m"]) ** 2)
             return loss, (loss_d, mse)
 
         @jax.jit
-        def train_step(params, opt_state, shot_idx, rng):
+        def train_step(params, opt_state, shot_idx, rng, pack):
             (loss, (loss_d, mse)), grads = jax.value_and_grad(
-                total_loss, has_aux=True)(params, shot_idx, rng)
+                total_loss, has_aux=True)(params, shot_idx, rng, pack)
             if cfg.optimizer == "lbfgs":
                 updates, opt_state = self.opt.update(
                     grads, opt_state, params, value=loss, grad=grads,
-                    value_fn=lambda p: total_loss(p, shot_idx, rng)[0])
+                    value_fn=lambda p: total_loss(p, shot_idx, rng,
+                                                  pack)[0])
             else:
                 updates, opt_state = self.opt.update(grads, opt_state,
                                                      params)
             params = optax.apply_updates(params, updates)
             return params, opt_state, loss, loss_d, mse
 
-        self._step_cache[fc] = train_step
+        self._step_cache["step"] = train_step
         return train_step
 
     def optimize_parameters(self, epoch: int, freq: float | None = None):
@@ -780,23 +838,45 @@ class ElasticDIPEngine(EngineBase):
         idx = jax.random.permutation(s1, cfg.num_shots)[:nsub]
         if self.lr_policy is not None:
             _set_lr(self.opt_state, self.lr_policy.lr_for_epoch(epoch))
-        step = self._get_step(fc)
+        step = self._get_step()
+        pack = {"in_vx": self.in_vx, "in_vz": self.in_vz,
+                "lowf": self.lowf, "true_m": self.true_m,
+                "phys": self._stage_pack(fc)}
         self.params, self.opt_state, loss, loss_d, mse = step(
-            self.params, self.opt_state, idx, s2)
-        out = {"loss_D_MSE": float(loss_d), "loss_M_MSE": float(mse)}
+            self.params, self.opt_state, idx, s2, pack)
+        loss_d, mse = map(float, jax.device_get((loss_d, mse)))
+        out = {"loss_D_MSE": loss_d, "loss_M_MSE": mse}
         if self.lr_policy is not None:
-            out["lr"] = self.lr_policy.after_epoch(float(loss_d))
+            out["lr"] = self.lr_policy.after_epoch(loss_d)
         return out
 
+    def _sample_model(self, params, rng=None):
+        """One deterministic (rng=None) or dropout-sampled model from
+        the decoder, as a single jitted program over argument data."""
+        if not hasattr(self, "_sample_step"):
+            cfg = self.cfg
+
+            def sample_step(params, key, det: bool, pack):
+                rngs = None if det else {"dropout": key}
+                deltas, _ = self.net.apply(params, pack["in_vx"],
+                                           pack["in_vz"],
+                                           deterministic=det, rngs=rngs)
+                m = apply_elastic_output(
+                    deltas, pack["lowf"], pack["true_m"],
+                    delta_scale=self.delta_scale,
+                    clip_min=self.clip_min, clip_max=self.clip_max,
+                    pin_rows=cfg.water_rows)
+                return m
+
+            self._sample_step = jax.jit(sample_step,
+                                        static_argnames=("det",))
+        pack = {"in_vx": self.in_vx, "in_vz": self.in_vz,
+                "lowf": self.lowf, "true_m": self.true_m}
+        key = rng if rng is not None else jax.random.PRNGKey(0)
+        return self._sample_step(params, key, rng is None, pack)
+
     def test(self, *, rng=None):
-        det = rng is None
-        rngs = None if det else {"dropout": rng}
-        deltas, _ = self.net.apply(self.params, self.in_vx, self.in_vz,
-                                   deterministic=det, rngs=rngs)
-        m = apply_elastic_output(
-            deltas, self.lowf, self.true_m, delta_scale=self.delta_scale,
-            clip_min=self.clip_min, clip_max=self.clip_max,
-            pin_rows=self.cfg.water_rows)
+        m = self._sample_model(self.params, rng)
         mse = float(jnp.mean((m - self.true_m) ** 2))
         return {"loss_V_MSE": mse}, np.asarray(m[0])
 
@@ -808,19 +888,27 @@ class ElasticDIPEngine(EngineBase):
         runs as a single device program instead of n host round
         trips."""
         keys = jax.random.split(jax.random.PRNGKey(seed), n)
+        cfg = self.cfg
+        pack = {"in_vx": self.in_vx, "in_vz": self.in_vz,
+                "lowf": self.lowf, "true_m": self.true_m}
 
         @jax.jit
-        def sample(key):
-            deltas, _ = self.net.apply(self.params, self.in_vx,
-                                       self.in_vz, deterministic=False,
-                                       rngs={"dropout": key})
-            m = apply_elastic_output(
-                deltas, self.lowf, self.true_m,
-                delta_scale=self.delta_scale, clip_min=self.clip_min,
-                clip_max=self.clip_max, pin_rows=self.cfg.water_rows)
-            return m[0]
+        def ensemble(params, keys, pack):
+            def sample(key):
+                deltas, _ = self.net.apply(params, pack["in_vx"],
+                                           pack["in_vz"],
+                                           deterministic=False,
+                                           rngs={"dropout": key})
+                m = apply_elastic_output(
+                    deltas, pack["lowf"], pack["true_m"],
+                    delta_scale=self.delta_scale,
+                    clip_min=self.clip_min, clip_max=self.clip_max,
+                    pin_rows=cfg.water_rows)
+                return m[0]
 
-        return np.asarray(jax.vmap(sample)(keys))
+            return jax.vmap(sample)(keys)
+
+        return np.asarray(ensemble(self.params, keys, pack))
 
 
 # ---------------------------------------------------------------------------
@@ -858,28 +946,33 @@ class ClassicFWIEngine(EngineBase):
 
         wl = self.wl
         mis = l1_misfit if cfg.misfit == "l1" else l2_misfit
+        # observed data rides as a step ARGUMENT (see
+        # AcousticDIPEngine._make_physics_loss for the HLO-constant
+        # rationale)
+        self._pd = {"obs_norm": wl.obs_norm}
 
-        def loss_fn(params):
+        def loss_fn(params, pd):
             pred = simulate_acoustic(params["vp"], wl.wavelet, *wl.geom,
                                      wl.cfg)
-            return mis(trace_normalize(pred), wl.obs_norm)
+            return mis(trace_normalize(pred), pd["obs_norm"])
 
         @jax.jit
-        def train_step(params, opt_state):
-            loss, grads = jax.value_and_grad(loss_fn)(params)
+        def train_step(params, opt_state, pd):
+            loss, grads = jax.value_and_grad(loss_fn)(params, pd)
             g = water_mask(grads["vp"], wl.vp_true, cfg.water_vel)
             g = depth_weighting(g, 2.0)
             grads = {"vp": g}
             if cfg.optimizer == "lbfgs":
                 updates, opt_state = self.opt.update(
                     grads, opt_state, params, value=loss, grad=grads,
-                    value_fn=loss_fn)
+                    value_fn=lambda p: loss_fn(p, pd))
             else:
                 updates, opt_state = self.opt.update(grads, opt_state,
                                                      params)
             params = optax.apply_updates(params, updates)
             params = {"vp": jnp.clip(params["vp"], 1490.0, 4700.0)}
-            return params, opt_state, loss
+            mse = jnp.mean((params["vp"] - wl.vp_true) ** 2)
+            return params, opt_state, loss, mse
 
         self._train_step = train_step
 
@@ -914,8 +1007,12 @@ class ClassicFWIEngine(EngineBase):
         self.opt = _make_optimizer(cfg)
         self.opt_state = self.opt.init(self.params)
         nsub = cfg.shots_per_iter or cfg.num_shots
+        # observed gathers enter the step as an argument pytree —
+        # at reference scale (35 shots x 5 s x 298 rcv x 2 comps)
+        # closing over them would serialize ~280 MB into the HLO
+        self._pd = {"ovx": wl.obs_vx, "ovz": wl.obs_vz}
 
-        def loss_fn(params, shot_idx):
+        def loss_fn(params, shot_idx, pd):
             sz = wl.geom[0][shot_idx]
             sx = wl.geom[1][shot_idx]
             rz = wl.geom[2][shot_idx]
@@ -923,12 +1020,13 @@ class ClassicFWIEngine(EngineBase):
             pvx, pvz = sim(
                 params["vp"], params["vs"], wl.start["rho"], wl.wavelet,
                 sz, sx, rz, rx, wl.cfg)
-            return (jnp.mean((pvx - wl.obs_vx[shot_idx]) ** 2)
-                    + jnp.mean((pvz - wl.obs_vz[shot_idx]) ** 2))
+            return (jnp.mean((pvx - pd["ovx"][shot_idx]) ** 2)
+                    + jnp.mean((pvz - pd["ovz"][shot_idx]) ** 2))
 
         @jax.jit
-        def train_step(params, opt_state, shot_idx):
-            loss, grads = jax.value_and_grad(loss_fn)(params, shot_idx)
+        def train_step(params, opt_state, shot_idx, pd):
+            loss, grads = jax.value_and_grad(loss_fn)(params, shot_idx,
+                                                      pd)
             # DENISE-style post-processing: water rows zeroed, grads
             # rescaled to model magnitude (networks.py:7808-7862)
             grads = {k: rescale_to_model(taper_top(g, cfg.water_rows),
@@ -937,14 +1035,16 @@ class ClassicFWIEngine(EngineBase):
             if cfg.optimizer == "lbfgs":
                 updates, opt_state = self.opt.update(
                     grads, opt_state, params, value=loss, grad=grads,
-                    value_fn=lambda p: loss_fn(p, shot_idx))
+                    value_fn=lambda p: loss_fn(p, shot_idx, pd))
             else:
                 updates, opt_state = self.opt.update(grads, opt_state,
                                                      params)
             params = optax.apply_updates(params, updates)
             params = {"vp": jnp.clip(params["vp"], 1490.0, 4700.0),
                       "vs": jnp.clip(params["vs"], 0.0, 2700.0)}
-            return params, opt_state, loss
+            mse = (jnp.mean((params["vp"] - wl.true["vp"]) ** 2)
+                   + jnp.mean((params["vs"] - wl.true["vs"]) ** 2))
+            return params, opt_state, loss, mse
 
         self._train_step_el = train_step
         self._nsub = nsub
@@ -957,19 +1057,15 @@ class ClassicFWIEngine(EngineBase):
             self._rng, sub = jax.random.split(self._rng)
             idx = jax.random.permutation(
                 sub, self.cfg.num_shots)[: self._nsub]
-            self.params, self.opt_state, loss = self._train_step_el(
-                self.params, self.opt_state, idx)
-            mse = float(
-                jnp.mean((self.params["vp"] - self.wl.true["vp"]) ** 2)
-                + jnp.mean((self.params["vs"] - self.wl.true["vs"]) ** 2))
+            self.params, self.opt_state, loss, mse = self._train_step_el(
+                self.params, self.opt_state, idx, self._pd)
         else:
-            self.params, self.opt_state, loss = self._train_step(
-                self.params, self.opt_state)
-            mse = float(jnp.mean((self.params["vp"]
-                                  - self.wl.vp_true) ** 2))
-        out = {"loss_D_MSE": float(loss), "loss_M_MSE": mse}
+            self.params, self.opt_state, loss, mse = self._train_step(
+                self.params, self.opt_state, self._pd)
+        loss, mse = map(float, jax.device_get((loss, mse)))
+        out = {"loss_D_MSE": loss, "loss_M_MSE": mse}
         if self.lr_policy is not None:
-            out["lr"] = self.lr_policy.after_epoch(float(loss))
+            out["lr"] = self.lr_policy.after_epoch(loss)
         return out
 
     def test(self):
@@ -1034,33 +1130,40 @@ class LatentInversionEngine(EngineBase):
         vmin, vmax = decoder_norm if decoder_norm is not None else (
             None, None)
 
-        def loss_fn(z):
-            f01 = self.net.apply(self.decoder_params, z,
-                                 method=self.net.decode)
-            vp = apply_velocity_output(f01, wl.vp_true[None, :, :, None],
+        # decoder weights + observed data as step arguments (frozen
+        # params are data here, not code — same HLO-constant rule)
+        self._pd = {"dec": self.decoder_params, "obs_norm": wl.obs_norm,
+                    "vp_true": wl.vp_true}
+
+        def loss_fn(z, pd):
+            f01 = self.net.apply(pd["dec"], z, method=self.net.decode)
+            vp = apply_velocity_output(f01,
+                                       pd["vp_true"][None, :, :, None],
                                        vmin=vmin, vmax=vmax,
                                        water_vel=ccfg.water_vel)[0, :, :, 0]
             pred = simulate_acoustic(vp, wl.wavelet, *wl.geom, wl.cfg)
             mis = l1_misfit if ccfg.misfit == "l1" else l2_misfit
-            return mis(trace_normalize(pred), wl.obs_norm), vp
+            return mis(trace_normalize(pred), pd["obs_norm"]), vp
 
         @jax.jit
-        def train_step(z, opt_state):
-            (loss, vp), g = jax.value_and_grad(loss_fn, has_aux=True)(z)
+        def train_step(z, opt_state, pd):
+            (loss, vp), g = jax.value_and_grad(loss_fn, has_aux=True)(
+                z, pd)
             updates, opt_state = self.opt.update(g, opt_state)
-            return optax.apply_updates(z, updates), opt_state, loss, vp
+            mse = jnp.mean((vp - pd["vp_true"]) ** 2)
+            return optax.apply_updates(z, updates), opt_state, loss, mse
 
         self._train_step = train_step
 
     def optimize_parameters(self, epoch: int):
         if self.lr_policy is not None:
             _set_lr(self.opt_state, self.lr_policy.lr_for_epoch(epoch))
-        self.z, self.opt_state, loss, vp = self._train_step(
-            self.z, self.opt_state)
-        mse = float(jnp.mean((vp - self.wl.vp_true) ** 2))
-        out = {"loss_D_MSE": float(loss), "loss_M_MSE": mse}
+        self.z, self.opt_state, loss, mse = self._train_step(
+            self.z, self.opt_state, self._pd)
+        loss, mse = map(float, jax.device_get((loss, mse)))
+        out = {"loss_D_MSE": loss, "loss_M_MSE": mse}
         if self.lr_policy is not None:
-            out["lr"] = self.lr_policy.after_epoch(float(loss))
+            out["lr"] = self.lr_policy.after_epoch(loss)
         return out
 
     def test(self):
@@ -1162,13 +1265,13 @@ class SupervisedEngine(EngineBase):
         d_params = self.d_params if self.use_gan else None
         self.params, self.opt_state, gl, fake = self._g_step(
             self.params, self.opt_state, d_params, a, b)
-        out = {"loss_G": float(gl), "lr": self.lr_policy.lr}
         if self.use_gan:
             self.d_params, self.d_opt_state, dl = self._d_step(
                 self.d_params, self.d_opt_state, a, b,
                 jax.lax.stop_gradient(fake))
-            out["loss_D"] = float(dl)
-        return out
+            gl, dl = map(float, jax.device_get((gl, dl)))
+            return {"loss_G": gl, "loss_D": dl, "lr": self.lr_policy.lr}
+        return {"loss_G": float(gl), "lr": self.lr_policy.lr}
 
     def test(self, a, b):
         fake, _ = self.net.apply(self.params, a)
@@ -1216,21 +1319,23 @@ class ImpedanceDIPEngine(EngineBase):
         self.opt_state = self.opt.init(self.params)
         self.lr_policy = LrPolicy(cfg) if cfg.optimizer == "adam" else None
         mis = l1_misfit if cfg.misfit == "l1" else l2_misfit
-        true_b = vp_true[None, :, :, None]
+        self._pack = {"obs_stack": self.obs_stack,
+                      "true_b": vp_true[None, :, :, None],
+                      "vp_true": vp_true}
 
-        def total_loss(params):
+        def total_loss(params, pack):
             from physicsbasedfwi2_tpu.models import pack_output
-            out = pack_output(self.net.apply(params, self.obs_stack))
-            vp = apply_velocity_output(out.field, true_b,
+            out = pack_output(self.net.apply(params, pack["obs_stack"]))
+            vp = apply_velocity_output(out.field, pack["true_b"],
                                        water_vel=cfg.water_vel)
-            loss = mis(self._synth(vp), self.obs_stack)
-            mse = jnp.mean((vp[0, :, :, 0] - vp_true) ** 2)
+            loss = mis(self._synth(vp), pack["obs_stack"])
+            mse = jnp.mean((vp[0, :, :, 0] - pack["vp_true"]) ** 2)
             return loss, mse
 
         @jax.jit
-        def train_step(params, opt_state):
+        def train_step(params, opt_state, pack):
             (loss, mse), grads = jax.value_and_grad(
-                total_loss, has_aux=True)(params)
+                total_loss, has_aux=True)(params, pack)
             updates, opt_state = self.opt.update(grads, opt_state, params)
             params = optax.apply_updates(params, updates)
             return params, opt_state, loss, mse
@@ -1241,10 +1346,11 @@ class ImpedanceDIPEngine(EngineBase):
         if self.lr_policy is not None:
             _set_lr(self.opt_state, self.lr_policy.lr_for_epoch(epoch))
         self.params, self.opt_state, loss, mse = self._train_step(
-            self.params, self.opt_state)
-        out = {"loss_D_MSE": float(loss), "loss_M_MSE": float(mse)}
+            self.params, self.opt_state, self._pack)
+        loss, mse = map(float, jax.device_get((loss, mse)))
+        out = {"loss_D_MSE": loss, "loss_M_MSE": mse}
         if self.lr_policy is not None:
-            out["lr"] = self.lr_policy.after_epoch(float(loss))
+            out["lr"] = self.lr_policy.after_epoch(loss)
         return out
 
     def test(self):

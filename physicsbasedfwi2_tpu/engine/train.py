@@ -79,8 +79,8 @@ def train_supervised(cfg: ExperimentConfig, *, epochs: int | None = None,
     try:
         ds_val = create_dataset(cfg.dataroot, cfg.dataset_mode,
                                 phase="test")
-        if len(ds_val) == 0:
-            ds_val = None
+        if len(ds_val) == 0 or not {la, lb} <= set(ds_val[0]):
+            ds_val = None  # twin missing (or missing a needed letter)
     except (FileNotFoundError, OSError):
         ds_val = None
     viz = Visualizer(cfg)

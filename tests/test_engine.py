@@ -116,7 +116,8 @@ def test_elastic_no_rho_oracle_leak():
     eng = create_engine(cfg)
     m_true = jnp.stack([eng.wl.true["vp"], eng.wl.true["vs"]], -1)
     idx = jnp.arange(2)
-    loss_true = float(eng._physics_loss_raw(m_true, 0.0, idx))
+    loss_true = float(eng._physics_loss_raw(m_true, idx,
+                                            eng._stage_pack(0.0)))
     # with the oracle rho this would be exactly 0 (obs generated by
     # the same operator); with the smooth rho it must not be
     assert loss_true > 1e-12, loss_true
@@ -375,6 +376,23 @@ def test_supervised_batch_epoch_loop(tmp_path):
     train_main(["--workload", "pix2pix_baseline",
                 "--dataroot", str(tmp_path), "--epochs", "1",
                 "--name", "t_sup_cli", "--save-dir", "/tmp/fwi_test_ck"])
+    # multi-channel letter combos (unalignedBD2/BDE2) run through the
+    # same letter-generic loop
+    # (no testD/testE twin on purpose — the loop must then skip
+    # validation instead of crashing)
+    for phase, n in (("train", 4),):
+        for L in "DE":
+            d = tmp_path / (phase + L)
+            d.mkdir()
+            for i in range(n):
+                img = rng.uniform(0.1, 1.0, (32, 32)).astype(np.float32)
+                np.save(d / f"{i}.npy", img)
+    for wl in ("pix2pix_bd", "pix2pix_bde"):
+        cfg = get_workload(wl).replace(
+            name=f"t_{wl}", save_dir="/tmp/fwi_test_ck",
+            dataroot=str(tmp_path), batch_size=2, n_epochs=1)
+        _, hist = train(cfg, epochs=1, quiet=True)
+        assert np.isfinite(hist[-1]["loss_G"]), wl
 
 
 def test_multi_sample_engine_sharded():
