@@ -241,6 +241,26 @@ def main():
             "workload": "5 shots x 5.0s x 100x300 P-SV fwd+adjoint",
         }), flush=True)
 
+    # end-to-end engine iteration at BASELINE config 1 (net fwd/bwd +
+    # physics gradient + optimizer + logged scalars — the same scope
+    # as the reference's it_lap column, marmsm_Mod8_log.txt col 5)
+    try:
+        from benchmarks.bench_configs import bench_one
+        r = bench_one("marmousi_acoustic", iters=5)
+        dt_e2e = r["seconds_per_iteration"]
+        print(json.dumps({
+            "metric": "marmousi_acoustic_engine_iteration_end_to_end",
+            "value": dt_e2e,
+            "unit": "s",
+            "vs_baseline": round(BASELINE_IT_LAP / dt_e2e, 2),
+            "baseline": "reference it_lap 0.35 s (same end-to-end "
+                        "scope: generator + deepwave gradient + Adam "
+                        "+ per-iteration loss logging)",
+        }), flush=True)
+    except Exception as e:
+        print(f"[bench] end-to-end engine bench skipped "
+              f"({type(e).__name__}: {e})", file=sys.stderr)
+
 
 if __name__ == "__main__":
     main()

@@ -244,7 +244,8 @@ def _kernel(src_z, src_x, rcv_row, wav_sm, rcv_x_sm,
 
 def fwi_l1_loss_grad(vp, wavelet, src_z, src_x, rcv_z, rcv_x,
                      cfg: AcousticConfig, obs_rows, dir_rows,
-                     *, KC: int = 16, want_wavelet_grad: bool = False):
+                     *, KC: int = 16, want_wavelet_grad: bool = False,
+                     interpret: bool = False):
     """(loss, dJ/dvp[, dJ/dwavelet]) for the reference's
     trace-normalized L1 misfit with direct-wave removal, computed by
     the fused kernel.
@@ -322,6 +323,7 @@ def fwi_l1_loss_grad(vp, wavelet, src_z, src_x, rcv_z, rcv_x,
         kern, grid_spec=grid_spec,
         out_shape=tuple(out_shape),
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        interpret=interpret,
     )(src_z_p, src_x_p, rcv_row, wav, rcv_cols,
       K2d, dp, dm, obs_rows, dir_rows)
     loss_blk, gk = out[0], out[1]

@@ -148,3 +148,49 @@ def test_impedance_synthetic_pipeline():
     assert np.abs(syn[20:30]).max() > 10 * np.abs(syn[:10]).max()
     assert float(impedance_misfit(vp, vp)) < 1e-8
     assert float(impedance_misfit(vp, vp.at[25:, :].set(2800.0))) > 0
+
+
+def test_fused_wavelet_gradient_fd_interpret():
+    """AutoWav source-side gradient: the fused kernel's dJ/dwavelet
+    (want_wavelet_grad, interpret mode) matches a directional FD of
+    the kernel's own loss.  eps must be small: the loss is kinked
+    (L1 signs + per-trace-max argmax), so larger steps cross
+    subgradient jumps (measured rel ~ 1 at eps_s=1e-3)."""
+    from physicsbasedfwi2_tpu.geo import surface_line
+    from physicsbasedfwi2_tpu.ops.pallas_fwi_fused import (
+        fwi_l1_loss_grad, scatter_rows)
+
+    nz, nx, nt = 32, 48, 96
+    grid = Grid2D(nz=nz, nx=nx, dx=10.0, nt=nt, dt=0.001, pml_width=8)
+    cfg = AcousticConfig(grid=grid, chunk=16, vmax_pml=3000.0)
+    wav = ricker(12.0, nt, grid.dt)
+    acq = surface_line(2, 16, nx, src_depth=2, rcv_depth=2)
+    geom = tuple(jnp.asarray(a) for a in
+                 (acq.src_z, acq.src_x, acq.rcv_z, acq.rcv_x))
+    vp = jnp.full((nz, nx), 1800.0, jnp.float32)
+    vpt = vp.at[12:20, 15:35].add(200.0)
+    obs_norm = trace_normalize(simulate_acoustic(vpt, wav, *geom, cfg))
+    obs_rows = scatter_rows(obs_norm, geom[3], nt=nt, nx=nx,
+                            pml_width=8, KC=16)
+    dir_rows = jnp.zeros_like(obs_rows)
+    wav2 = jnp.broadcast_to(wav[None, :], (2, nt))
+
+    def loss_of_wav(w_):
+        return fwi_l1_loss_grad(vp, w_, *geom, cfg, obs_rows,
+                                dir_rows, interpret=True)[0]
+
+    loss, _, gwav = fwi_l1_loss_grad(vp, wav2, *geom, cfg, obs_rows,
+                                     dir_rows, want_wavelet_grad=True,
+                                     interpret=True)
+    assert np.isfinite(float(loss)) and gwav.shape == (2, nt)
+    rng = np.random.default_rng(0)
+    d = rng.standard_normal((2, nt))
+    for _ in range(2):
+        d[:, 1:-1] = 0.25 * (d[:, 2:] + d[:, :-2]) + 0.5 * d[:, 1:-1]
+    d = jnp.asarray(d / np.abs(d).max(), jnp.float32)
+    eps = 1e-4 * float(jnp.abs(wav).max())
+    fd = (float(loss_of_wav(wav2 + eps * d))
+          - float(loss_of_wav(wav2 - eps * d))) / (2 * eps)
+    ad = float(jnp.vdot(gwav, d))
+    rel = abs(fd - ad) / max(abs(fd), 1e-20)
+    assert rel < 8e-2, (fd, ad, rel)
