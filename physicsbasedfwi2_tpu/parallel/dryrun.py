@@ -118,6 +118,74 @@ def run(n_devices: int) -> float:
     return loss
 
 
+def run_mesh2d(n_devices: int) -> float:
+    """One gradient on a 2D {sample, shot} mesh — the reference's
+    batch_size + Ray per-sample fan-out as a single shard_map
+    (Auto_model.py:185-199)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from physicsbasedfwi2_tpu.geo import Grid2D, ricker, surface_line
+    from physicsbasedfwi2_tpu.ops import (
+        AcousticConfig, simulate_acoustic, trace_normalize)
+    from physicsbasedfwi2_tpu.parallel import (
+        make_mesh2d, sample_shot_sharded_acoustic_gradient)
+
+    n_sample = 2
+    n_shot = n_devices // n_sample
+    mesh = make_mesh2d(n_sample, n_shot)
+    ns = 2 * n_shot
+    nz, nx, nt, nr = 32, 48, 128, 24
+    grid = Grid2D(nz=nz, nx=nx, dx=10.0, nt=nt, dt=0.002, pml_width=12)
+    cfg = AcousticConfig(grid=grid, chunk=32, vmax_pml=3000.0)
+    wav = ricker(10.0, nt, 0.002)
+    acq = surface_line(ns, nr, nx, src_depth=2, rcv_depth=2)
+    sz, sx, rz, rx = (jnp.asarray(a) for a in
+                      (acq.src_z, acq.src_x, acq.rcv_z, acq.rcv_x))
+    vps_true = jnp.stack([
+        jnp.full((nz, nx), 1800.0, jnp.float32).at[14 + 4 * i :, :].set(
+            2200.0) for i in range(n_sample)])
+    obs = jax.vmap(lambda v: simulate_acoustic(
+        v, wav, sz, sx, rz, rx, cfg))(vps_true)
+    obs_norm = trace_normalize(obs)
+    vps0 = jnp.full((n_sample, nz, nx), 1900.0, jnp.float32)
+    loss, g = jax.jit(lambda v: sample_shot_sharded_acoustic_gradient(
+        mesh, v, obs_norm, wav, sz, sx, rz, rx, cfg, misfit="l2"))(vps0)
+    loss = float(loss)
+    assert np.isfinite(loss) and np.isfinite(np.asarray(g)).all()
+    return loss
+
+
+def run_domain_decomp(n_devices: int) -> float:
+    """One forward on a laterally grid-sharded mesh with per-step
+    ppermute halo exchange (parallel/halo.py) — the DENISE
+    domain-decomposition analogue (networks.py:7709-7710)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from physicsbasedfwi2_tpu.geo import Grid2D, ricker
+    from physicsbasedfwi2_tpu.ops import AcousticConfig
+    from physicsbasedfwi2_tpu.parallel import make_mesh
+    from physicsbasedfwi2_tpu.parallel.halo import simulate_acoustic_dd
+
+    mesh = make_mesh(n_devices)
+    # padded lateral width (nx + 2*pml) must divide by the mesh size
+    nz, nx, nt = 32, 24 * n_devices - 16, 96
+    grid = Grid2D(nz=nz, nx=nx, dx=10.0, nt=nt, dt=0.002, pml_width=8)
+    cfg = AcousticConfig(grid=grid, chunk=32, vmax_pml=3000.0)
+    wav = ricker(10.0, nt, 0.002)
+    sz = jnp.array([2], jnp.int32)
+    sx = jnp.array([nx // 2], jnp.int32)
+    rz = jnp.full((1, 8), 2, jnp.int32)
+    rx = jnp.arange(4, nx - 4, (nx - 8) // 8, dtype=jnp.int32)[None, :8]
+    vp = jnp.full((nz, nx), 1800.0, jnp.float32)
+    rec = simulate_acoustic_dd(vp, wav, sz, sx, rz, rx, cfg, mesh=mesh)
+    s = float(jnp.sum(rec ** 2))
+    assert np.isfinite(s) and s > 0
+    return s
+
+
 def main(argv=None) -> None:
     argv = argv if argv is not None else sys.argv[1:]
     n = int(argv[0]) if argv else 8
@@ -125,6 +193,12 @@ def main(argv=None) -> None:
     loss = run(n)
     print(f"dryrun_multichip({n}): one sharded FWI train step OK, "
           f"loss={loss:.6e}")
+    loss2 = run_mesh2d(n)
+    print(f"dryrun_multichip({n}): {{sample, shot}} 2D-mesh gradient "
+          f"OK, loss={loss2:.6e}")
+    e = run_domain_decomp(n)
+    print(f"dryrun_multichip({n}): domain-decomposed forward (halo "
+          f"ppermute) OK, energy={e:.6e}")
 
 
 if __name__ == "__main__":
