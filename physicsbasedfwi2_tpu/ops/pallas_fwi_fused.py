@@ -244,7 +244,7 @@ def _kernel(src_z, src_x, rcv_row, wav_sm, rcv_x_sm,
 
 def fwi_l1_loss_grad(vp, wavelet, src_z, src_x, rcv_z, rcv_x,
                      cfg: AcousticConfig, obs_rows, dir_rows,
-                     *, KC: int = 16, want_wavelet_grad: bool = False,
+                     *, KC: int = 32, want_wavelet_grad: bool = False,
                      interpret: bool = False):
     """(loss, dJ/dvp[, dJ/dwavelet]) for the reference's
     trace-normalized L1 misfit with direct-wave removal, computed by
@@ -350,7 +350,7 @@ def fwi_l1_loss_grad(vp, wavelet, src_z, src_x, rcv_z, rcv_x,
     return loss, gz
 
 
-def scatter_rows(data, rcv_x, *, nt, nx, pml_width, KC: int = 16):
+def scatter_rows(data, rcv_x, *, nt, nx, pml_width, KC: int = 32):
     """[ns, nt, nr] traces -> [ns, nt_pad, nx128] receiver-row
     layout used by the fused kernel."""
     ns = data.shape[0]
