@@ -47,22 +47,45 @@ def main(argv=None):
     from physicsbasedfwi2_tpu.ops import simulate_acoustic, trace_normalize
 
     cfg = get_workload(args.workload).replace(save_dir=args.save_dir)
+    is_elastic = cfg.engine == "elastic_dip"
     if args.small:
-        cfg = cfg.replace(nz=48, nx=64, nt=300, num_shots=4,
-                          num_receivers=32, filters=(4, 8, 16),
-                          chunk=25, water_rows=6)
+        small = dict(nz=48, nx=64, nt=300, num_shots=4,
+                     num_receivers=32, filters=(4, 8, 16),
+                     chunk=25, water_rows=6)
+        if is_elastic:
+            small.update(nt=160, dt=0.0015, num_receivers=20,
+                         shots_per_iter=2, water_rows=4, pml_width=12)
+        cfg = cfg.replace(**small)
     eng = create_engine(cfg)
     if args.epoch:
         eng.load_networks(args.epoch)
 
     wl = eng.wl
 
-    def physics_loss(params):
-        f01, _, _ = eng._apply_net(params)
-        vp = apply_velocity_output(f01, eng.true_b,
-                                   water_vel=cfg.water_vel)[0, :, :, 0]
-        pred = simulate_acoustic(vp, wl.wavelet, *wl.geom, wl.cfg)
-        return jnp.mean((trace_normalize(pred) - wl.obs_norm) ** 2)
+    if is_elastic:
+        # the reference's `elasticnet` surface (loss.sh/loss3.sh:
+        # evaluation.eval_loss3 runs the elastic net end-to-end and
+        # returns loss_D_MSE over the MarmousiEl npy's)
+        from physicsbasedfwi2_tpu.models import apply_elastic_output
+        idx = jnp.arange(cfg.shots_per_iter or cfg.num_shots)
+        pd = eng._stage_pack(cfg.freq_stages[0]
+                             if cfg.freq_stages else 0.0)
+
+        def physics_loss(params):
+            deltas, _ = eng.net.apply(params, eng.in_vx, eng.in_vz,
+                                      deterministic=True)
+            m = apply_elastic_output(
+                deltas, eng.lowf, eng.true_m,
+                delta_scale=eng.delta_scale, clip_min=eng.clip_min,
+                clip_max=eng.clip_max, pin_rows=cfg.water_rows)
+            return eng._physics_loss_raw(m[0], idx, pd)
+    else:
+        def physics_loss(params):
+            out = eng._apply_net(params)
+            vp = apply_velocity_output(out.field, eng.true_b,
+                                       water_vel=cfg.water_vel)[0, :, :, 0]
+            pred = simulate_acoustic(vp, wl.wavelet, *wl.geom, wl.cfg)
+            return jnp.mean((trace_normalize(pred) - wl.obs_norm) ** 2)
 
     xs, ys = _parse_range(args.x), _parse_range(args.y)
     surf, d1, d2 = loss_surface_2d(physics_loss, eng.params,

@@ -83,3 +83,24 @@ def test_loss_surface_sharded_matches_single():
     s2, _, _ = loss_surface_2d_sharded(loss_fn, params, mesh,
                                        d1=d1, d2=d2, xs=xs, ys=ys)
     np.testing.assert_allclose(s2, s1, rtol=1e-5, atol=1e-6)
+
+
+def test_landscape_cli_acoustic_and_elastic(tmp_path):
+    """The plot_surface2.py-role CLI sweeps both net families
+    (loss.sh `adjointnet` / loss3.sh `elasticnet`) and writes the
+    surface artifacts."""
+    import json
+    import io
+    import os
+    from contextlib import redirect_stdout
+    from physicsbasedfwi2_tpu.landscape.cli import main
+
+    for wl in ("marmousi_acoustic", "marmousi_elastic"):
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            main(["--workload", wl, "--small", "--name", f"t_{wl}",
+                  "--x=-0.3:0.3:3", "--y=-0.3:0.3:3",
+                  "--out", str(tmp_path)])
+        out = json.loads(buf.getvalue().strip().splitlines()[-1])
+        assert np.isfinite(out["min"]) and out["max"] >= out["min"]
+        assert os.path.exists(tmp_path / f"t_{wl}_surface.npz")
