@@ -216,12 +216,92 @@ def prepare_elastic_tree(vp: np.ndarray, out_root: str, *,
     return out_root
 
 
+def read_su_gather(path: str):
+    """Read one Seismic-Unix shot file -> ([ntraces, ns] float32, dt_s).
+
+    SU = SEG-Y trace format without the 3600-byte file header: per
+    trace a 240-byte header (ns = uint16 at byte 114, dt in
+    microseconds = uint16 at byte 116) followed by ns float32
+    samples.  DENISE writes native-endian files (the reference's
+    observed data lives in su/seis_{x,y}.su.shot<k>,
+    networks.py:7669-7692); big-endian files are detected by trying
+    both byte orders and keeping the one whose ns tiles the file."""
+    raw = np.fromfile(path, dtype=np.uint8)
+    if raw.size < 244:
+        raise ValueError(f"{path}: too short for an SU trace")
+
+    def try_order(order):
+        ns = int(raw[114:116].view(np.dtype(np.uint16).newbyteorder(
+            order))[0])
+        if ns == 0:
+            return None
+        tr_bytes = 240 + 4 * ns
+        if raw.size % tr_bytes:
+            return None
+        return ns, tr_bytes
+
+    for order in ("<", ">"):
+        hit = try_order(order)
+        if hit:
+            ns, tr_bytes = hit
+            break
+    else:
+        raise ValueError(f"{path}: no byte order yields a whole "
+                         "number of SU traces")
+    ntr = raw.size // tr_bytes
+    mat = raw.reshape(ntr, tr_bytes)
+    dt_us = int(mat[0, 116:118].view(
+        np.dtype(np.uint16).newbyteorder(order))[0])
+    data = mat[:, 240:].reshape(ntr, ns, 4).copy().view(
+        np.dtype(np.float32).newbyteorder(order)).reshape(ntr, ns)
+    return np.ascontiguousarray(data.astype(np.float32)), dt_us * 1e-6
+
+
+def prepare_su_observed(su_dir: str, out_root: str, *,
+                        prefix: str = "seis",
+                        components: tuple = ("x", "y"),
+                        phase: str = "train") -> tuple:
+    """Ingest a DENISE observed-data directory (the reference's
+    ``su/`` with ``seis_x.su.shot1..N`` / ``seis_y.su.shot1..N``)
+    into the unalignedVelABCDEl npy contract: component x -> letter A
+    (vx gathers [nsrc, nt, nrec]), component y -> letter D (vy).
+
+    Returns ((nsrc, nt, nrec), dt_seconds)."""
+    letters = {"x": "A", "y": "D"}
+    shape = None
+    dt_s = None
+    for comp in components:
+        shots = []
+        k = 1
+        while True:
+            path = os.path.join(su_dir, f"{prefix}_{comp}.su.shot{k}")
+            if not os.path.exists(path):
+                break
+            tr, dt_s = read_su_gather(path)
+            shots.append(tr.T)  # [nt, nrec]
+            k += 1
+        if not shots:
+            raise FileNotFoundError(
+                f"no {prefix}_{comp}.su.shot* files in {su_dir}")
+        arr = np.stack(shots).astype(np.float32)  # [nsrc, nt, nrec]
+        d = os.path.join(out_root, phase + letters[comp])
+        os.makedirs(d, exist_ok=True)
+        np.save(os.path.join(d, "0.npy"), arr)
+        shape = arr.shape
+    return shape, dt_s
+
+
 def main(argv=None):
     p = argparse.ArgumentParser(
         description="Prepare FWI training data from a published "
                     "velocity grid (Marmousi/SEAM)")
-    p.add_argument("--grid", required=True,
+    p.add_argument("--grid", default=None,
                    help=".segy/.sgy, .npy, or flat float32 .bin")
+    p.add_argument("--su-obs", default=None,
+                   help="DENISE observed-data dir (seis_x.su.shot* / "
+                        "seis_y.su.shot*): ingested as the A/D "
+                        "letters instead of simulated gathers")
+    p.add_argument("--su-prefix", default="seis")
     p.add_argument("--out", required=True, help="output dataroot")
     p.add_argument("--physics", choices=("acoustic", "elastic"),
                    default="acoustic")
@@ -239,27 +319,35 @@ def main(argv=None):
     p.add_argument("--unit", choices=("m/s", "km/s", "auto"),
                    default="auto")
     args = p.parse_args(argv)
+    if args.grid is None and args.su_obs is None:
+        p.error("need --grid and/or --su-obs")
 
-    m = read_velocity_grid(args.grid, bin_nz=args.bin_nz,
-                           bin_nx=args.bin_nx)
-    m = normalize_velocity(m, unit=args.unit)
-    m = resample_grid(m, args.nz, args.nx)
-    kw = {}
-    for k in ("dx", "nt", "dt", "freq"):
-        v = getattr(args, k)
-        if v is not None:
-            kw[k] = v
-    if args.num_shots is not None:
-        kw["num_shots"] = args.num_shots
-    if args.num_receivers is not None:
-        kw["num_receivers"] = args.num_receivers
-    kw["water_rows"] = args.water_rows
-    if args.physics == "acoustic":
-        prepare_acoustic_tree(m, args.out, **kw)
-    else:
-        prepare_elastic_tree(m, args.out, **kw)
-    print(f"wrote {args.physics} tree to {args.out} "
-          f"(grid {args.nz}x{args.nx})")
+    if args.grid is not None:
+        m = read_velocity_grid(args.grid, bin_nz=args.bin_nz,
+                               bin_nx=args.bin_nx)
+        m = normalize_velocity(m, unit=args.unit)
+        m = resample_grid(m, args.nz, args.nx)
+        kw = {}
+        for k in ("dx", "nt", "dt", "freq"):
+            v = getattr(args, k)
+            if v is not None:
+                kw[k] = v
+        if args.num_shots is not None:
+            kw["num_shots"] = args.num_shots
+        if args.num_receivers is not None:
+            kw["num_receivers"] = args.num_receivers
+        kw["water_rows"] = args.water_rows
+        if args.physics == "acoustic":
+            prepare_acoustic_tree(m, args.out, **kw)
+        else:
+            prepare_elastic_tree(m, args.out, **kw)
+        print(f"wrote {args.physics} tree to {args.out} "
+              f"(grid {args.nz}x{args.nx})")
+    if args.su_obs is not None:
+        shape, dt_s = prepare_su_observed(args.su_obs, args.out,
+                                          prefix=args.su_prefix)
+        print(f"ingested SU observed data {shape} (dt={dt_s}s) "
+              f"into {args.out} letters A/D")
 
 
 if __name__ == "__main__":

@@ -195,3 +195,48 @@ def test_prep_acoustic_tree_trains_engine(tmp_path):
                            np.asarray(eng.wl.vp_true))
     r = eng.optimize_parameters(1)
     assert np.isfinite(r["loss_D"])
+
+
+def test_su_observed_ingestion(tmp_path):
+    """fwi-prep ingests DENISE .su observed shots (the reference's
+    su/seis_{x,y}.su.shot<k> layout, networks.py:7669-7692) into the
+    unalignedVelABCDEl A/D letters, for both byte orders."""
+    from physicsbasedfwi2_tpu.data.prep import (
+        read_su_gather, prepare_su_observed)
+
+    rng = np.random.default_rng(0)
+    ns_samp, ntr, nshot = 50, 7, 3
+    dt_us = 1500
+
+    def write_su(path, order, data):
+        u16 = np.dtype(np.uint16).newbyteorder(order)
+        f32 = np.dtype(np.float32).newbyteorder(order)
+        with open(path, "wb") as f:
+            for tr in data:
+                hdr = np.zeros(240, np.uint8)
+                hdr[114:116] = np.frombuffer(
+                    np.array([ns_samp], u16).tobytes(), np.uint8)
+                hdr[116:118] = np.frombuffer(
+                    np.array([dt_us], u16).tobytes(), np.uint8)
+                f.write(hdr.tobytes())
+                f.write(tr.astype(np.float32).astype(f32).tobytes())
+
+    for order in ("<", ">"):
+        root = tmp_path / f"su_{order == '<' and 'le' or 'be'}"
+        root.mkdir()
+        want = {}
+        for comp in ("x", "y"):
+            for k in range(1, nshot + 1):
+                d = rng.standard_normal((ntr, ns_samp)).astype(np.float32)
+                want[(comp, k)] = d
+                write_su(root / f"seis_{comp}.su.shot{k}", order, d)
+        tr0, dt_s = read_su_gather(str(root / "seis_x.su.shot1"))
+        np.testing.assert_allclose(tr0, want[("x", 1)], rtol=1e-7)
+        assert abs(dt_s - dt_us * 1e-6) < 1e-9
+        out = tmp_path / f"tree_{order == '<' and 'le' or 'be'}"
+        shape, dt_s = prepare_su_observed(str(root), str(out))
+        assert shape == (nshot, ns_samp, ntr)
+        a = np.load(out / "trainA" / "0.npy")
+        dd = np.load(out / "trainD" / "0.npy")
+        np.testing.assert_allclose(a[0], want[("x", 1)].T, rtol=1e-7)
+        np.testing.assert_allclose(dd[2], want[("y", 3)].T, rtol=1e-7)
