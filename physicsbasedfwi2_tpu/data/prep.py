@@ -231,12 +231,19 @@ def read_su_gather(path: str):
         raise ValueError(f"{path}: too short for an SU trace")
 
     def try_order(order):
-        ns = int(raw[114:116].view(np.dtype(np.uint16).newbyteorder(
-            order))[0])
+        u16 = np.dtype(np.uint16).newbyteorder(order)
+        ns = int(raw[114:116].view(u16)[0])
         if ns == 0:
             return None
         tr_bytes = 240 + 4 * ns
         if raw.size % tr_bytes:
+            return None
+        # every trace header must agree on ns — a coincidental
+        # divisor under the wrong byte order won't (the swapped ns
+        # lands mid-sample in later headers)
+        ntr = raw.size // tr_bytes
+        all_ns = raw.reshape(ntr, tr_bytes)[:, 114:116].copy().view(u16)
+        if not (all_ns == ns).all():
             return None
         return ns, tr_bytes
 
@@ -247,7 +254,7 @@ def read_su_gather(path: str):
             break
     else:
         raise ValueError(f"{path}: no byte order yields a whole "
-                         "number of SU traces")
+                         "number of consistent SU traces")
     ntr = raw.size // tr_bytes
     mat = raw.reshape(ntr, tr_bytes)
     dt_us = int(mat[0, 116:118].view(
@@ -284,6 +291,13 @@ def prepare_su_observed(su_dir: str, out_root: str, *,
             raise FileNotFoundError(
                 f"no {prefix}_{comp}.su.shot* files in {su_dir}")
         arr = np.stack(shots).astype(np.float32)  # [nsrc, nt, nrec]
+        if shape is not None and arr.shape != shape:
+            # catch inconsistent component dirs HERE, not later when
+            # the elastic loader silently mis-pairs A[k] with D[k]
+            raise ValueError(
+                f"component '{comp}' has shape {arr.shape} but an "
+                f"earlier component had {shape} — su_dir is "
+                "inconsistent (partial copy?)")
         d = os.path.join(out_root, phase + letters[comp])
         os.makedirs(d, exist_ok=True)
         np.save(os.path.join(d, "0.npy"), arr)

@@ -888,27 +888,30 @@ class ElasticDIPEngine(EngineBase):
         runs as a single device program instead of n host round
         trips."""
         keys = jax.random.split(jax.random.PRNGKey(seed), n)
-        cfg = self.cfg
         pack = {"in_vx": self.in_vx, "in_vz": self.in_vz,
                 "lowf": self.lowf, "true_m": self.true_m}
+        if not hasattr(self, "_mc_ensemble"):
+            cfg = self.cfg
 
-        @jax.jit
-        def ensemble(params, keys, pack):
-            def sample(key):
-                deltas, _ = self.net.apply(params, pack["in_vx"],
-                                           pack["in_vz"],
-                                           deterministic=False,
-                                           rngs={"dropout": key})
-                m = apply_elastic_output(
-                    deltas, pack["lowf"], pack["true_m"],
-                    delta_scale=self.delta_scale,
-                    clip_min=self.clip_min, clip_max=self.clip_max,
-                    pin_rows=cfg.water_rows)
-                return m[0]
+            def ensemble(params, keys, pack):
+                def sample(key):
+                    deltas, _ = self.net.apply(
+                        params, pack["in_vx"], pack["in_vz"],
+                        deterministic=False, rngs={"dropout": key})
+                    m = apply_elastic_output(
+                        deltas, pack["lowf"], pack["true_m"],
+                        delta_scale=self.delta_scale,
+                        clip_min=self.clip_min,
+                        clip_max=self.clip_max,
+                        pin_rows=cfg.water_rows)
+                    return m[0]
 
-            return jax.vmap(sample)(keys)
+                return jax.vmap(sample)(keys)
 
-        return np.asarray(ensemble(self.params, keys, pack))
+            # cached on the engine: a fresh @jax.jit per call would
+            # defeat the jit cache and re-trace every invocation
+            self._mc_ensemble = jax.jit(ensemble)
+        return np.asarray(self._mc_ensemble(self.params, keys, pack))
 
 
 # ---------------------------------------------------------------------------

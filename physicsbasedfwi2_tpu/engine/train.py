@@ -71,15 +71,28 @@ def train_supervised(cfg: ExperimentConfig, *, epochs: int | None = None,
     letters = [L for L in "ABCDE" if L in item0]
     if len(letters) < 2:
         raise ValueError(f"need input+target dirs, found {letters}")
+    # first letter = input, second = target; any FURTHER letters
+    # (e.g. unalignedBDE2's E) concatenate onto the input channels —
+    # the reference registered the 3-letter dataset but left E
+    # unconsumed by every model (no model sets that dataset_mode)
     la, lb = letters[0], letters[1]
-    a0, b0 = _prep_img(item0[la]), _prep_img(item0[lb])
+    extra = letters[2:]
+
+    def prep_in(item):
+        import numpy as np
+        parts = [_prep_img(item[la])] + [_prep_img(item[L])
+                                         for L in extra]
+        return parts[0] if not extra else np.concatenate(parts, -1)
+
+    a0, b0 = prep_in(item0), _prep_img(item0[lb])
     engine = create_engine(cfg, in_shape=a0.shape[:2],
                            in_channels=a0.shape[-1],
                            out_channels=b0.shape[-1])
+    need = {la, lb, *extra}
     try:
         ds_val = create_dataset(cfg.dataroot, cfg.dataset_mode,
                                 phase="test")
-        if len(ds_val) == 0 or not {la, lb} <= set(ds_val[0]):
+        if len(ds_val) == 0 or not need <= set(ds_val[0]):
             ds_val = None  # twin missing (or missing a needed letter)
     except (FileNotFoundError, OSError):
         ds_val = None
@@ -94,7 +107,7 @@ def train_supervised(cfg: ExperimentConfig, *, epochs: int | None = None,
         nb = 0
         for batch in ds.batches(cfg.batch_size, seed=cfg.seed + epoch,
                                 flip=flip):
-            a = jnp.asarray(_prep_img(batch[la]))
+            a = jnp.asarray(prep_in(batch))
             b = jnp.asarray(_prep_img(batch[lb]))
             losses = engine.optimize_parameters(a, b, epoch=epoch)
             for k, v in losses.items():
@@ -105,7 +118,7 @@ def train_supervised(cfg: ExperimentConfig, *, epochs: int | None = None,
                "epoch_time": time.time() - t0}
         if ds_val is not None:
             it = ds_val[0]
-            va = jnp.asarray(_prep_img(it[la])[None])
+            va = jnp.asarray(prep_in(it)[None])
             vb = jnp.asarray(_prep_img(it[lb])[None])
             val, _ = engine.test(va, vb)
             rec.update(val)

@@ -62,34 +62,45 @@ def main(argv=None):
 
     wl = eng.wl
 
+    # observed gathers / net inputs ride in the `data` argument of
+    # the sweep jit — closed over, they would be serialized into the
+    # HLO as literal constants (CLAUDE.md rule)
     if is_elastic:
         # the reference's `elasticnet` surface (loss.sh/loss3.sh:
         # evaluation.eval_loss3 runs the elastic net end-to-end and
         # returns loss_D_MSE over the MarmousiEl npy's)
         from physicsbasedfwi2_tpu.models import apply_elastic_output
         idx = jnp.arange(cfg.shots_per_iter or cfg.num_shots)
-        pd = eng._stage_pack(cfg.freq_stages[0]
-                             if cfg.freq_stages else 0.0)
+        data = {"in_vx": eng.in_vx, "in_vz": eng.in_vz,
+                "lowf": eng.lowf, "true_m": eng.true_m,
+                "phys": eng._stage_pack(cfg.freq_stages[0]
+                                        if cfg.freq_stages else 0.0)}
 
-        def physics_loss(params):
-            deltas, _ = eng.net.apply(params, eng.in_vx, eng.in_vz,
+        def physics_loss(params, data):
+            deltas, _ = eng.net.apply(params, data["in_vx"],
+                                      data["in_vz"],
                                       deterministic=True)
             m = apply_elastic_output(
-                deltas, eng.lowf, eng.true_m,
+                deltas, data["lowf"], data["true_m"],
                 delta_scale=eng.delta_scale, clip_min=eng.clip_min,
                 clip_max=eng.clip_max, pin_rows=cfg.water_rows)
-            return eng._physics_loss_raw(m[0], idx, pd)
+            return eng._physics_loss_raw(m[0], idx, data["phys"])
     else:
-        def physics_loss(params):
-            out = eng._apply_net(params)
-            vp = apply_velocity_output(out.field, eng.true_b,
+        data = {"shots_in": eng.shots_in, "true_b": eng.true_b,
+                "obs_norm": wl.obs_norm}
+
+        def physics_loss(params, data):
+            out = eng._apply_net(params, shots_in=data["shots_in"])
+            vp = apply_velocity_output(out.field, data["true_b"],
                                        water_vel=cfg.water_vel)[0, :, :, 0]
             pred = simulate_acoustic(vp, wl.wavelet, *wl.geom, wl.cfg)
-            return jnp.mean((trace_normalize(pred) - wl.obs_norm) ** 2)
+            return jnp.mean((trace_normalize(pred)
+                             - data["obs_norm"]) ** 2)
 
     xs, ys = _parse_range(args.x), _parse_range(args.y)
     surf, d1, d2 = loss_surface_2d(physics_loss, eng.params,
-                                   xs=xs, ys=ys, norm=args.norm)
+                                   xs=xs, ys=ys, norm=args.norm,
+                                   data=data)
     os.makedirs(args.out, exist_ok=True)
     np.savez(os.path.join(args.out, f"{args.name}_surface.npz"),
              losses=surf, xs=xs, ys=ys)
@@ -111,8 +122,8 @@ def main(argv=None):
     result = {"min": float(surf.min()), "max": float(surf.max()),
               "center": float(surf[len(ys) // 2, len(xs) // 2])}
     if args.hessian:
-        lo, hi, _ = lanczos_extreme_eigs(physics_loss, eng.params,
-                                         steps=10)
+        lo, hi, _ = lanczos_extreme_eigs(
+            lambda p: physics_loss(p, data), eng.params, steps=10)
         result["eig_min"] = lo
         result["eig_max"] = hi
     print(json.dumps(result))

@@ -47,14 +47,19 @@ def perturb_params(params, d1, d2, x: float, y: float):
 
 def loss_surface_2d(loss_fn, params, *, key=None, d1=None, d2=None,
                     xs=None, ys=None, norm: str = "filter",
-                    batch: int = 8):
+                    batch: int = 8, data=None):
     """Evaluate loss_fn(params + x d1 + y d2) over a grid.
 
     Args:
         loss_fn: params -> scalar (typically the physics data misfit,
-            the reference's evaluation.eval_loss3 role).
+            the reference's evaluation.eval_loss3 role).  When
+            ``data`` is given, called as loss_fn(params, data).
         xs, ys: 1D coordinate arrays (default 21 points in [-1, 1]).
         batch: how many grid points to vmap together.
+        data: optional pytree of LARGE arrays (observed gathers, net
+            inputs) threaded into the jit as an argument — closures
+            would serialize them into the HLO as literal constants
+            (see CLAUDE.md).
 
     Returns:
         (losses [len(ys), len(xs)], d1, d2)
@@ -74,10 +79,10 @@ def loss_surface_2d(loss_fn, params, *, key=None, d1=None, d2=None,
         np.stack([gx.ravel(), gy.ravel()], 1), jnp.float32)
 
     @jax.jit
-    def eval_batch(cb):
+    def eval_batch(cb, data):
         def one(c):
             p = perturb_params(params, d1, d2, c[0], c[1])
-            return loss_fn(p)
+            return loss_fn(p) if data is None else loss_fn(p, data)
         return jax.vmap(one)(cb)
 
     n = coords.shape[0]
@@ -85,14 +90,16 @@ def loss_surface_2d(loss_fn, params, *, key=None, d1=None, d2=None,
     coords_p = jnp.pad(coords, ((0, pad), (0, 0)))
     losses = []
     for s in range(0, n + pad, batch):
-        losses.append(np.asarray(eval_batch(coords_p[s : s + batch])))
+        losses.append(np.asarray(eval_batch(coords_p[s : s + batch],
+                                            data)))
     flat = np.concatenate(losses)[:n]
     return flat.reshape(len(ys), len(xs)), d1, d2
 
 
 def loss_surface_2d_sharded(loss_fn, params, mesh, *, key=None,
                             d1=None, d2=None, xs=None, ys=None,
-                            norm: str = "filter", axis: str = "shot"):
+                            norm: str = "filter", axis: str = "shot",
+                            data=None):
     """Multi-chip grid sweep: grid points sharded over the mesh, each
     device evaluating its slice — the mpi4py rank-partitioned crunch2
     (plot_surface2.py:156-229 + scheduler.get_job_indices) as one
@@ -120,14 +127,14 @@ def loss_surface_2d_sharded(loss_fn, params, mesh, *, key=None,
 
     @jax.jit
     @functools.partial(
-        shard_map, mesh=mesh, in_specs=P(axis), out_specs=P(),
+        shard_map, mesh=mesh, in_specs=(P(axis), P()), out_specs=P(),
         check_vma=False)
-    def sweep(cb):
+    def sweep(cb, data):
         def one(c):
             p = perturb_params(params, d1, d2, c[0], c[1])
-            return loss_fn(p)
+            return loss_fn(p) if data is None else loss_fn(p, data)
         local = jax.lax.map(one, cb)
         return jax.lax.all_gather(local, axis, tiled=True)
 
-    flat = np.asarray(sweep(coords_p))[:n]
+    flat = np.asarray(sweep(coords_p, data))[:n]
     return flat.reshape(len(ys), len(xs)), d1, d2

@@ -132,8 +132,8 @@ def run_mesh2d(n_devices: int) -> float:
     from physicsbasedfwi2_tpu.parallel import (
         make_mesh2d, sample_shot_sharded_acoustic_gradient)
 
-    n_sample = 2
-    n_shot = n_devices // n_sample
+    n_sample = min(2, n_devices)
+    n_shot = max(1, n_devices // n_sample)
     mesh = make_mesh2d(n_sample, n_shot)
     ns = 2 * n_shot
     nz, nx, nt, nr = 32, 48, 128, 24
@@ -171,7 +171,7 @@ def run_domain_decomp(n_devices: int) -> float:
 
     mesh = make_mesh(n_devices)
     # padded lateral width (nx + 2*pml) must divide by the mesh size
-    nz, nx, nt = 32, 24 * n_devices - 16, 96
+    nz, nx, nt = 32, max(24 * n_devices - 16, 32), 96
     grid = Grid2D(nz=nz, nx=nx, dx=10.0, nt=nt, dt=0.002, pml_width=8)
     cfg = AcousticConfig(grid=grid, chunk=32, vmax_pml=3000.0)
     wav = ricker(10.0, nt, 0.002)

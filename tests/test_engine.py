@@ -391,8 +391,14 @@ def test_supervised_batch_epoch_loop(tmp_path):
         cfg = get_workload(wl).replace(
             name=f"t_{wl}", save_dir="/tmp/fwi_test_ck",
             dataroot=str(tmp_path), batch_size=2, n_epochs=1)
-        _, hist = train(cfg, epochs=1, quiet=True)
+        eng2, hist = train(cfg, epochs=1, quiet=True)
         assert np.isfinite(hist[-1]["loss_G"]), wl
+        # BDE's extra E letter must actually reach the net: some conv
+        # consumes 2 input channels (B + E concat)
+        n_in = 2 if wl == "pix2pix_bde" else 1
+        leaves = jax.tree_util.tree_leaves(eng2.params)
+        assert any(getattr(l, "ndim", 0) == 4 and l.shape[2] == n_in
+                   for l in leaves), wl
 
 
 def test_multi_sample_engine_sharded():
