@@ -72,3 +72,24 @@ def test_golden_elastic_traces():
     rho = jnp.full((32, 40), 2100.0, jnp.float32)
     rvx, rvz = simulate_elastic(vp, vs, rho, wav, *geom, cfg)
     _check("elastic_small", {"rvx": rvx, "rvz": rvz})
+
+
+def test_golden_fused_acoustic_interpret():
+    """Fused loss+grad kernel (interpret mode) against committed
+    goldens — catches numerical regressions in the in-kernel misfit /
+    adjoint across refactors (e.g. KC retunes, Pallas API churn)."""
+    from physicsbasedfwi2_tpu.ops import trace_normalize
+    from physicsbasedfwi2_tpu.ops.pallas_fwi_fused import (
+        fwi_l1_loss_grad, scatter_rows)
+
+    cfg, wav, vp, geom = _acoustic_case()
+    g = cfg.grid
+    vpt = vp.at[20:30, 15:35].add(150.0)
+    obs_norm = trace_normalize(simulate_acoustic(vpt, wav, *geom, cfg))
+    obs_rows = scatter_rows(obs_norm, geom[3], nt=g.nt, nx=g.nx,
+                            pml_width=g.pml_width)
+    dir_rows = jnp.zeros_like(obs_rows)
+    loss, grad = fwi_l1_loss_grad(vp, wav, *geom, cfg, obs_rows,
+                                  dir_rows, interpret=True)
+    _check("fused_acoustic_small",
+           {"loss": jnp.reshape(loss, (1,)), "grad": grad})
