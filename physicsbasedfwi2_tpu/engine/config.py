@@ -149,7 +149,11 @@ _EL = ExperimentConfig(
     nz=100, nx=300, dx=20.0, nt=3334, dt=0.0015, freq=10.0,
     free_surface=True, num_shots=35, num_receivers=298,
     shots_per_iter=5, water_rows=26,
-    lr=0.001, anchor_weight=1.0, misfit="l2",
+    # anchor_weight=0 in the physics phase matches the reference: its
+    # physics branch backprops ONLY the injected field gradients
+    # (AutoElMar22_model.py:398-420; the loss_G=loss_L_MSE backward is
+    # the epoch<=lstart warmup).  Set lstart>0 for that warmup.
+    lr=0.001, anchor_weight=0.0, misfit="l2",
     freq_stages=(10.0, 15.0, 20.0),
 )
 register_workload("marmousi_elastic", _EL)

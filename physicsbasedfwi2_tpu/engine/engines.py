@@ -791,7 +791,7 @@ class ElasticDIPEngine(EngineBase):
         cfg = self.cfg
         physics_loss = self._make_physics_loss()
 
-        def total_loss(params, shot_idx, rng, pack):
+        def total_loss(params, shot_idx, rng, use_physics, pack):
             det = cfg.dropout == 0
             rngs = {"dropout": rng} if not det else None
             deltas, z = self.net.apply(params, pack["in_vx"],
@@ -801,24 +801,36 @@ class ElasticDIPEngine(EngineBase):
                 deltas, pack["lowf"], pack["true_m"],
                 delta_scale=self.delta_scale, clip_min=self.clip_min,
                 clip_max=self.clip_max, pin_rows=cfg.water_rows)
+            anchor = jnp.mean((m - pack["lowf"]) ** 2)
+            if not use_physics:
+                # warmup (epoch <= lstart): pure anchor regression to
+                # the low-frequency model — the reference's
+                # loss_G = loss_L_MSE phase (AutoElMar22_model.py:
+                # 374 with the physics backward commented out)
+                return anchor, (jnp.float32(0.0),
+                                jnp.mean((m - pack["true_m"]) ** 2))
             loss_d = physics_loss(m[0], shot_idx, pack["phys"])
             loss = loss_d
             if cfg.anchor_weight > 0:
-                # low-frequency anchor (AutoElMar22_model.py:312,374)
-                loss = loss + cfg.anchor_weight * jnp.mean(
-                    (m - pack["lowf"]) ** 2) * 1e-6
+                # optional low-frequency anchor in the physics phase
+                # (off by default: the reference's physics branch
+                # injects only the field gradients,
+                # AutoElMar22_model.py:398-420)
+                loss = loss + cfg.anchor_weight * anchor * 1e-6
             mse = jnp.mean((m - pack["true_m"]) ** 2)
             return loss, (loss_d, mse)
 
-        @jax.jit
-        def train_step(params, opt_state, shot_idx, rng, pack):
+        @functools.partial(jax.jit, static_argnames=("use_physics",))
+        def train_step(params, opt_state, shot_idx, rng,
+                       use_physics: bool, pack):
             (loss, (loss_d, mse)), grads = jax.value_and_grad(
-                total_loss, has_aux=True)(params, shot_idx, rng, pack)
+                total_loss, has_aux=True)(params, shot_idx, rng,
+                                          use_physics, pack)
             if cfg.optimizer == "lbfgs":
                 updates, opt_state = self.opt.update(
                     grads, opt_state, params, value=loss, grad=grads,
                     value_fn=lambda p: total_loss(p, shot_idx, rng,
-                                                  pack)[0])
+                                                  use_physics, pack)[0])
             else:
                 updates, opt_state = self.opt.update(grads, opt_state,
                                                      params)
@@ -842,8 +854,9 @@ class ElasticDIPEngine(EngineBase):
         pack = {"in_vx": self.in_vx, "in_vz": self.in_vz,
                 "lowf": self.lowf, "true_m": self.true_m,
                 "phys": self._stage_pack(fc)}
+        use_physics = epoch > cfg.lstart
         self.params, self.opt_state, loss, loss_d, mse = step(
-            self.params, self.opt_state, idx, s2, pack)
+            self.params, self.opt_state, idx, s2, use_physics, pack)
         loss_d, mse = map(float, jax.device_get((loss_d, mse)))
         out = {"loss_D_MSE": loss_d, "loss_M_MSE": mse}
         if self.lr_policy is not None:

@@ -180,8 +180,12 @@ def train(cfg: ExperimentConfig, *, epochs: int | None = None,
             for k, v in losses.items():
                 agg[k] += v / iters_per_epoch
         # ---- frequency continuation ----
+        # (suspended during the lstart warmup: its physics loss is a
+        # constant 0, a perfect "plateau" that would race the stage
+        # index to the final frequency before inversion even starts)
         key = "loss_D_MSE" if "loss_D_MSE" in agg else next(iter(agg))
-        if stages[stage_i] is not None and plateau.update(agg[key]):
+        if (epoch > cfg.lstart and stages[stage_i] is not None
+                and plateau.update(agg[key])):
             if stage_i + 1 < len(stages):
                 stage_i += 1
                 if not quiet:

@@ -522,3 +522,22 @@ def test_elastic_engine_from_dataroot(tmp_path):
                                np.asarray(wl.true["vp"]), rtol=1e-4)
     r = eng.optimize_parameters(1, freq=12.0)
     assert np.isfinite(r["loss_D_MSE"])
+
+
+def test_elastic_lstart_warmup_then_physics():
+    """epoch <= lstart trains the pure low-frequency anchor (the
+    reference's loss_G = loss_L_MSE phase); physics starts after
+    (AutoElMar22_model.py:374 vs 398-420)."""
+    cfg = get_workload("marmousi_elastic", **SMALL_EL).replace(
+        name="t_lstart", save_dir="/tmp/fwi_test_ck", lstart=2)
+    eng = create_engine(cfg)
+    anchor0 = float(jnp.mean(
+        (eng._sample_model(eng.params) - eng.lowf) ** 2))
+    r1 = eng.optimize_parameters(epoch=1, freq=12.0)
+    r2 = eng.optimize_parameters(epoch=2, freq=12.0)
+    assert r1["loss_D_MSE"] == 0.0 and r2["loss_D_MSE"] == 0.0
+    anchor2 = float(jnp.mean(
+        (eng._sample_model(eng.params) - eng.lowf) ** 2))
+    assert anchor2 < anchor0  # warmup pulls the output toward lowf
+    r3 = eng.optimize_parameters(epoch=3, freq=12.0)
+    assert r3["loss_D_MSE"] > 0.0  # physics phase engaged
