@@ -225,7 +225,16 @@ def read_su_gather(path: str):
     samples.  DENISE writes native-endian files (the reference's
     observed data lives in su/seis_{x,y}.su.shot<k>,
     networks.py:7669-7692); big-endian files are detected by trying
-    both byte orders and keeping the one whose ns tiles the file."""
+    both byte orders and keeping the one under which every trace
+    header agrees on ns and traces tile the file.
+
+    Parsing goes through the native C++ reader
+    (native/su_reader.cpp) when a compiler is available; the numpy
+    path below is the byte-for-byte-equivalent fallback."""
+    from physicsbasedfwi2_tpu.data.native_su import read_su_native
+    native = read_su_native(path)
+    if native is not None:
+        return native
     raw = np.fromfile(path, dtype=np.uint8)
     if raw.size < 244:
         raise ValueError(f"{path}: too short for an SU trace")

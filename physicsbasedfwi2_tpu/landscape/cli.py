@@ -122,8 +122,8 @@ def main(argv=None):
     result = {"min": float(surf.min()), "max": float(surf.max()),
               "center": float(surf[len(ys) // 2, len(xs) // 2])}
     if args.hessian:
-        lo, hi, _ = lanczos_extreme_eigs(
-            lambda p: physics_loss(p, data), eng.params, steps=10)
+        lo, hi, _ = lanczos_extreme_eigs(physics_loss, eng.params,
+                                         steps=10, data=data)
         result["eig_min"] = lo
         result["eig_max"] = hi
     print(json.dumps(result))

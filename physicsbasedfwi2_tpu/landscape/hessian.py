@@ -33,9 +33,13 @@ def _tree_scale(alpha, x):
 
 
 def lanczos_extreme_eigs(loss_fn, params, *, steps: int = 20,
-                         key=None):
+                         key=None, data=None):
     """Estimate extreme Hessian eigenvalues with ``steps`` Lanczos
     iterations (full reorthogonalization; fine for steps <= ~50).
+
+    ``data``: optional pytree of large arrays, passed into the HVP
+    jit as an argument (loss_fn then takes (params, data)) instead of
+    being serialized into the HLO as closure constants.
 
     Returns (eig_min, eig_max, ritz_values)."""
     key = key if key is not None else jax.random.PRNGKey(0)
@@ -47,7 +51,12 @@ def lanczos_extreme_eigs(loss_fn, params, *, steps: int = 20,
     nrm = jnp.sqrt(_tree_dot(v, v).real)
     v = _tree_scale(1.0 / nrm, v)
 
-    hvp_fn = jax.jit(lambda p, w: hvp(loss_fn, p, w))
+    if data is None:
+        hvp_fn = jax.jit(lambda p, w: hvp(loss_fn, p, w))
+    else:
+        hvp_jit = jax.jit(
+            lambda p, w, d: hvp(lambda q: loss_fn(q, d), p, w))
+        hvp_fn = lambda p, w: hvp_jit(p, w, data)
     vs = [v]
     alphas, betas = [], []
     w_prev = None

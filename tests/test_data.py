@@ -240,3 +240,33 @@ def test_su_observed_ingestion(tmp_path):
         dd = np.load(out / "trainD" / "0.npy")
         np.testing.assert_allclose(a[0], want[("x", 1)].T, rtol=1e-7)
         np.testing.assert_allclose(dd[2], want[("y", 3)].T, rtol=1e-7)
+
+
+def test_su_native_reader_matches_numpy(tmp_path):
+    """The C++ SU parser (native/su_reader.cpp) and the numpy
+    fallback produce identical arrays, both byte orders."""
+    from physicsbasedfwi2_tpu.data import native_su
+    from physicsbasedfwi2_tpu.data import prep
+
+    if not native_su.native_available():
+        import pytest
+        pytest.skip("no C++ toolchain")
+    rng = np.random.default_rng(3)
+    ns_samp, ntr = 33, 5
+    for order in ("<", ">"):
+        u16 = np.dtype(np.uint16).newbyteorder(order)
+        f32 = np.dtype(np.float32).newbyteorder(order)
+        d = rng.standard_normal((ntr, ns_samp)).astype(np.float32)
+        p = tmp_path / f"t{order == '<' and 'le' or 'be'}.su"
+        with open(p, "wb") as f:
+            for tr in d:
+                hdr = np.zeros(240, np.uint8)
+                hdr[114:116] = np.frombuffer(
+                    np.array([ns_samp], u16).tobytes(), np.uint8)
+                hdr[116:118] = np.frombuffer(
+                    np.array([750], u16).tobytes(), np.uint8)
+                f.write(hdr.tobytes())
+                f.write(tr.astype(f32).tobytes())
+        nat, dt_n = native_su.read_su_native(str(p))
+        np.testing.assert_array_equal(nat, d)
+        assert abs(dt_n - 750e-6) < 1e-12
