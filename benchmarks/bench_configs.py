@@ -51,12 +51,15 @@ def bench_one(workload: str, iters: int) -> dict:
     cfg = get_workload(workload).replace(
         name=f"bench_{workload}", save_dir="/tmp/fwi_bench_ck")
     eng = create_engine(cfg)
+    # bench the PHYSICS-phase iteration: epochs must sit past any
+    # lstart warmup (which trains the cheap anchor regression only)
+    e0 = cfg.lstart + 1
     # first call compiles; second warms any lazily-built step caches
     for _ in range(2):
-        eng.optimize_parameters(epoch=1)
+        eng.optimize_parameters(epoch=e0)
     t0 = time.perf_counter()
     for i in range(iters):
-        eng.optimize_parameters(epoch=2 + i)
+        eng.optimize_parameters(epoch=e0 + 1 + i)
     dt = (time.perf_counter() - t0) / iters
     shots = cfg.shots_per_iter or cfg.num_shots
     cells = cfg.nz * cfg.nx

@@ -9,43 +9,24 @@ never hard-depends on the native path.
 from __future__ import annotations
 
 import ctypes
-import os
-import subprocess
-import threading
 
 import numpy as np
 
-_NATIVE_DIR = os.path.join(os.path.dirname(os.path.dirname(
-    os.path.abspath(__file__))), "native")
-_SO_PATH = os.path.join(_NATIVE_DIR, "libnpy_loader.so")
-_SRC_PATH = os.path.join(_NATIVE_DIR, "npy_loader.cpp")
-_build_lock = threading.Lock()
+from physicsbasedfwi2_tpu.data._native_build import load_native_lib
+
 _lib = None
-
-
-def _build() -> str | None:
-    with _build_lock:
-        if os.path.exists(_SO_PATH) and (
-                os.path.getmtime(_SO_PATH) >= os.path.getmtime(_SRC_PATH)):
-            return _SO_PATH
-        try:
-            subprocess.run(
-                ["g++", "-O3", "-shared", "-fPIC", "-std=c++17",
-                 "-o", _SO_PATH, _SRC_PATH, "-lpthread"],
-                check=True, capture_output=True)
-            return _SO_PATH
-        except (OSError, subprocess.CalledProcessError):
-            return None
+_lib_tried = False
 
 
 def _get_lib():
-    global _lib
-    if _lib is not None:
+    global _lib, _lib_tried
+    if _lib is not None or _lib_tried:
         return _lib
-    so = _build()
-    if so is None:
+    _lib_tried = True
+    lib = load_native_lib("npy_loader.cpp", "libnpy_loader.so",
+                          extra_flags=("-O3", "-lpthread"))
+    if lib is None:
         return None
-    lib = ctypes.CDLL(so)
     lib.npy_loader_create.restype = ctypes.c_void_p
     lib.npy_loader_create.argtypes = [
         ctypes.POINTER(ctypes.c_char_p), ctypes.c_int, ctypes.c_int,

@@ -54,7 +54,8 @@ class ExperimentConfig:
     validate_on_twin: bool = True      # held-out Test-twin validation
                                        # (data/__init__.py:41-62)
     supervised_weight: float = 0.0     # model-MSE term weight
-    anchor_weight: float = 0.0         # low-freq anchor (elastic: on)
+    anchor_weight: float = 0.0         # optional low-freq tether in the
+                                       # physics phase (off = reference)
     kl_weight: float = 0.0             # VAE
     flow_weight: float = 1e-4          # invertible-latent NLL (AutoNF)
     latent_dim: int = 8
@@ -151,9 +152,12 @@ _EL = ExperimentConfig(
     shots_per_iter=5, water_rows=26,
     # anchor_weight=0 in the physics phase matches the reference: its
     # physics branch backprops ONLY the injected field gradients
-    # (AutoElMar22_model.py:398-420; the loss_G=loss_L_MSE backward is
-    # the epoch<=lstart warmup).  Set lstart>0 for that warmup.
-    lr=0.001, anchor_weight=0.0, misfit="l2",
+    # (AutoElMar22_model.py:398-420); lstart=30 runs the
+    # loss_G=loss_L_MSE anchor warmup first, landing the decoder on
+    # the low-frequency model before physics starts (the reference
+    # resumed elastic runs from pretrained checkpoints,
+    # trainVelAutoElMar22ModelPhy.sh --continue_train --epoch 1500)
+    lr=0.001, anchor_weight=0.0, lstart=30, misfit="l2",
     freq_stages=(10.0, 15.0, 20.0),
 )
 register_workload("marmousi_elastic", _EL)

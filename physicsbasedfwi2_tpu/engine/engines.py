@@ -860,7 +860,13 @@ class ElasticDIPEngine(EngineBase):
         loss_d, mse = map(float, jax.device_get((loss_d, mse)))
         out = {"loss_D_MSE": loss_d, "loss_M_MSE": mse}
         if self.lr_policy is not None:
-            out["lr"] = self.lr_policy.after_epoch(loss_d)
+            if use_physics:
+                out["lr"] = self.lr_policy.after_epoch(loss_d)
+            else:
+                # warmup's constant-zero loss_d must not feed the
+                # plateau lr controller (same race as the freq-stage
+                # detector, train.py)
+                out["lr"] = self.lr_policy.lr
         return out
 
     def _sample_model(self, params, rng=None):

@@ -13,6 +13,7 @@
 // Build: g++ -O2 -shared -fPIC -o libsu_reader.so su_reader.cpp
 #include <cstdint>
 #include <cstdio>
+#include <cstdlib>
 #include <cstring>
 #include <vector>
 
@@ -71,42 +72,44 @@ bool host_is_big() {
 
 extern "C" {
 
-// Probe geometry/byte order.  Returns 0 on success; fills ntr, ns,
-// dt_us and big_endian (1/0).  Nonzero return: -1 unreadable file,
-// -2 no consistent byte order.
-int su_probe(const char* path, int64_t* ntr, int64_t* ns,
-             int64_t* dt_us, int* big_endian) {
+// Single-call parse: reads the file ONCE, probes the byte order,
+// and returns a malloc'd host-order float32 buffer [*ntr * *ns]
+// (caller releases with su_free).  On failure returns nullptr with
+// *rc set: -1 unreadable file, -2 no consistent byte order,
+// -4 allocation failure.
+float* su_parse(const char* path, int64_t* ntr, int64_t* ns,
+                int64_t* dt_us, int* rc) {
   std::vector<unsigned char> raw;
-  if (!load_file(path, &raw)) return -1;
+  if (!load_file(path, &raw)) {
+    *rc = -1;
+    return nullptr;
+  }
+  bool big;
   if (try_order(raw, /*big=*/false, ntr, ns, dt_us)) {
-    *big_endian = 0;
-    return 0;
+    big = false;
+  } else if (try_order(raw, /*big=*/true, ntr, ns, dt_us)) {
+    big = true;
+  } else {
+    *rc = -2;
+    return nullptr;
   }
-  if (try_order(raw, /*big=*/true, ntr, ns, dt_us)) {
-    *big_endian = 1;
-    return 0;
+  size_t tr_bytes = kHdrBytes + 4ull * static_cast<size_t>(*ns);
+  float* out = static_cast<float*>(
+      std::malloc(sizeof(float) * static_cast<size_t>(*ntr) *
+                  static_cast<size_t>(*ns)));
+  if (!out) {
+    *rc = -4;
+    return nullptr;
   }
-  return -2;
-}
-
-// Parse all traces into out[ntr * ns] (host-order float32).  The
-// caller passes the geometry obtained from su_probe.  Returns 0 on
-// success, -1 on read failure, -3 on geometry mismatch.
-int su_read(const char* path, float* out, int64_t ntr, int64_t ns,
-            int big_endian) {
-  std::vector<unsigned char> raw;
-  if (!load_file(path, &raw)) return -1;
-  size_t tr_bytes = kHdrBytes + 4ull * static_cast<size_t>(ns);
-  if (raw.size() != static_cast<size_t>(ntr) * tr_bytes) return -3;
-  const bool swap = (big_endian != 0) != host_is_big();
-  for (int64_t t = 0; t < ntr; ++t) {
+  const bool swap = big != host_is_big();
+  for (int64_t t = 0; t < *ntr; ++t) {
     const unsigned char* src = raw.data() + t * tr_bytes + kHdrBytes;
     unsigned char* dst =
-        reinterpret_cast<unsigned char*>(out + t * ns);
+        reinterpret_cast<unsigned char*>(out + t * (*ns));
     if (!swap) {
-      std::memcpy(dst, src, 4ull * ns);
+      std::memcpy(dst, src, 4ull * static_cast<size_t>(*ns));
     } else {
-      for (int64_t s = 0; s < ns; ++s) {
+      for (int64_t s = 0; s < *ns; ++s) {
         dst[4 * s + 0] = src[4 * s + 3];
         dst[4 * s + 1] = src[4 * s + 2];
         dst[4 * s + 2] = src[4 * s + 1];
@@ -114,7 +117,10 @@ int su_read(const char* path, float* out, int64_t ntr, int64_t ns,
       }
     }
   }
-  return 0;
+  *rc = 0;
+  return out;
 }
+
+void su_free(float* p) { std::free(p); }
 
 }  // extern "C"

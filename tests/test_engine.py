@@ -20,7 +20,10 @@ SMALL_AC = dict(nz=40, nx=48, nt=400, dt=0.001, num_shots=4,
                 water_rows=6, pml_width=12)
 SMALL_EL = dict(nz=36, nx=48, nt=160, dt=0.0015, num_shots=4,
                 num_receivers=20, filters=(4, 8, 16), chunk=25,
-                water_rows=4, shots_per_iter=2, pml_width=12)
+                water_rows=4, shots_per_iter=2, pml_width=12,
+                lstart=0)  # physics from epoch 1 (the registered
+                           # elastic workloads default to a 30-epoch
+                           # anchor warmup)
 
 
 def test_workload_registry():
