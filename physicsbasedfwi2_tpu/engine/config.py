@@ -51,6 +51,12 @@ class ExperimentConfig:
                                        # removal (networks.py:5396-5411)
     wavelet_from_data: bool = False    # AutoWav: per-shot wavelets
                                        # from trainD (networks.py:13163)
+    encoded_shots: int = 0             # >0: random-polarity
+                                       # simultaneous-source encoding —
+                                       # n_super super-shots per
+                                       # iteration instead of all shots
+                                       # (beyond the reference; Krebs
+                                       # et al. 2009 style)
     validate_on_twin: bool = True      # held-out Test-twin validation
                                        # (data/__init__.py:41-62)
     supervised_weight: float = 0.0     # model-MSE term weight
@@ -171,6 +177,19 @@ register_workload("marmousi_elastic_rho",
 # the identical rho-inversion path here
 register_workload("marmousi_elastic_zp",
                   _EL.replace(netG="AutoElMarZp22"))
+
+# simultaneous-source (super-shot) acoustic DIP — beyond the
+# reference: 18 shots compressed into 4 random-polarity super-shots
+# per iteration (ops/encoding.py); raw-amplitude L2 misfit (encoded
+# gathers combine linearly, so the trace-normalize/direct-wave
+# pipeline does not apply)
+register_workload("marmousi_acoustic_encoded", ExperimentConfig(
+    engine="acoustic_dip", netG="Auto22",
+    nz=151, nx=200, dx=10.0, nt=4001, dt=0.001, freq=8.0,
+    num_shots=18, num_receivers=200,
+    lr=0.01, lstart=0, misfit="l2", encoded_shots=4,
+    direct_wave=False,
+))
 
 # --- BASELINE.json config 4: VAE latent-space inversion ------------------
 register_workload("latent_inversion", ExperimentConfig(

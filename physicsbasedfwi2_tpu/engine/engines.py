@@ -175,7 +175,7 @@ class AcousticDIPEngine(EngineBase):
         single_row = bool((rcv_z_np == rcv_z_np[:, :1]).all())
         self._use_fused = (cfg.backend in ("pallas", "auto")
                            and cfg.misfit == "l1" and mesh is None
-                           and single_row
+                           and single_row and cfg.encoded_shots == 0
                            and jax.devices()[0].platform == "tpu")
         if self._use_fused and not getattr(self.wl, "from_disk", False):
             # synthetic workload: regenerate obs with the fused path's
@@ -286,7 +286,15 @@ class AcousticDIPEngine(EngineBase):
         mesh = self.mesh
         wl = self.wl
         use_fused = self._use_fused
+        encoded = cfg.encoded_shots > 0
         pd = {"obs_norm": wl.obs_norm, "direct": self._direct}
+        if encoded:
+            # random-polarity simultaneous-source mode: raw per-shot
+            # gathers combine linearly into super-gathers; the
+            # polarity draw changes every iteration (enc_key rides in
+            # pd from optimize_parameters), averaging out crosstalk
+            pd["obs"] = wl.obs
+            pd["enc_key"] = jax.random.PRNGKey(cfg.seed + 77)
         if use_fused:
             from physicsbasedfwi2_tpu.ops.pallas_fwi_fused import (
                 fwi_l1_loss_grad, scatter_rows)
@@ -310,6 +318,13 @@ class AcousticDIPEngine(EngineBase):
             pd.update(padded=list(padded), mask=mask)
 
         def value_and_grad_physics(vp, pd):
+            if encoded:
+                from physicsbasedfwi2_tpu.ops.encoding import (
+                    encoded_fwi_gradient)
+                return encoded_fwi_gradient(
+                    vp, pd["obs"], wl.wavelet, *wl.geom, wl.cfg,
+                    pd["enc_key"], cfg.encoded_shots,
+                    misfit=cfg.misfit)
             if use_fused:
                 return fwi_l1_loss_grad(vp, wl.wavelet, *wl.geom,
                                         wl.cfg, pd["obs_rows"],
@@ -327,6 +342,10 @@ class AcousticDIPEngine(EngineBase):
 
         @jax.custom_vjp
         def physics_loss(vp, pd):
+            if encoded:
+                # primal must share the encoded objective (value_fn
+                # probes); the paired gradient is discarded by DCE
+                return value_and_grad_physics(vp, pd)[0]
             return raw(vp, pd)
 
         def fwd(vp, pd):
@@ -443,8 +462,14 @@ class AcousticDIPEngine(EngineBase):
         use_physics = epoch > self.cfg.lstart
         if self.lr_policy is not None:
             _set_lr(self.opt_state, self.lr_policy.lr_for_epoch(epoch))
+        pack = self._pack
+        if self.cfg.encoded_shots > 0:
+            # fresh polarity draw every iteration (identical pytree
+            # structure, so the compiled step is reused)
+            self._rng, ek = jax.random.split(self._rng)
+            pack = dict(pack, phys=dict(pack["phys"], enc_key=ek))
         self.params, self.opt_state, loss, model_mse = self._train_step(
-            self.params, self.opt_state, sub, use_physics, self._pack)
+            self.params, self.opt_state, sub, use_physics, pack)
         # one host round trip for both scalars (each transfer costs
         # ~51 ms through this container's device tunnel)
         loss, model_mse = map(float, jax.device_get((loss, model_mse)))

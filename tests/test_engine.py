@@ -544,3 +544,20 @@ def test_elastic_lstart_warmup_then_physics():
     assert anchor2 < anchor0  # warmup pulls the output toward lowf
     r3 = eng.optimize_parameters(epoch=3, freq=12.0)
     assert r3["loss_D_MSE"] > 0.0  # physics phase engaged
+
+
+def test_encoded_acoustic_engine_trains():
+    """Simultaneous-source mode: the engine inverts on random-polarity
+    super-shots with a fresh encoding each iteration (ops/encoding.py;
+    capability beyond the reference)."""
+    cfg = get_workload("marmousi_acoustic_encoded", **SMALL_AC).replace(
+        name="t_enc", save_dir="/tmp/fwi_test_ck",
+        validate_on_twin=False, encoded_shots=2)
+    eng = create_engine(cfg)
+    assert not eng._use_fused
+    losses = [eng.optimize_parameters(epoch=e)["loss_D"]
+              for e in range(1, 7)]
+    assert all(np.isfinite(losses))
+    # stochastic re-encoding makes per-iteration loss noisy; the
+    # trend over a few steps must still be downward
+    assert min(losses[1:]) < losses[0]
