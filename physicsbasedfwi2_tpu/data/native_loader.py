@@ -27,15 +27,21 @@ def _get_lib():
                           extra_flags=("-O3", "-lpthread"))
     if lib is None:
         return None
-    lib.npy_loader_create.restype = ctypes.c_void_p
-    lib.npy_loader_create.argtypes = [
-        ctypes.POINTER(ctypes.c_char_p), ctypes.c_int, ctypes.c_int,
-        ctypes.c_int]
-    lib.npy_loader_next.restype = ctypes.c_int
-    lib.npy_loader_next.argtypes = [
-        ctypes.c_void_p, ctypes.POINTER(ctypes.c_float), ctypes.c_int64,
-        ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64)]
-    lib.npy_loader_destroy.argtypes = [ctypes.c_void_p]
+    try:
+        lib.npy_loader_create.restype = ctypes.c_void_p
+        lib.npy_loader_create.argtypes = [
+            ctypes.POINTER(ctypes.c_char_p), ctypes.c_int, ctypes.c_int,
+            ctypes.c_int]
+        lib.npy_loader_next.restype = ctypes.c_int
+        lib.npy_loader_next.argtypes = [
+            ctypes.c_void_p, ctypes.POINTER(ctypes.c_float),
+            ctypes.c_int64, ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_int64)]
+        lib.npy_loader_destroy.argtypes = [ctypes.c_void_p]
+    except AttributeError:
+        # stale cached .so missing symbols: honor the documented
+        # None-on-ANY-failure contract (numpy fallback engages)
+        return None
     _lib = lib
     return lib
 

@@ -268,6 +268,9 @@ def read_su_gather(path: str):
     mat = raw.reshape(ntr, tr_bytes)
     dt_us = int(mat[0, 116:118].view(
         np.dtype(np.uint16).newbyteorder(order))[0])
+    if dt_us <= 0:
+        raise ValueError(f"{path}: SU header dt={dt_us} us is not "
+                         "positive — corrupt header?")
     data = mat[:, 240:].reshape(ntr, ns, 4).copy().view(
         np.dtype(np.float32).newbyteorder(order)).reshape(ntr, ns)
     return np.ascontiguousarray(data.astype(np.float32)), dt_us * 1e-6
@@ -286,6 +289,7 @@ def prepare_su_observed(su_dir: str, out_root: str, *,
     letters = {"x": "A", "y": "D"}
     shape = None
     dt_s = None
+    first_file = None
     for comp in components:
         shots = []
         k = 1
@@ -293,7 +297,20 @@ def prepare_su_observed(su_dir: str, out_root: str, *,
             path = os.path.join(su_dir, f"{prefix}_{comp}.su.shot{k}")
             if not os.path.exists(path):
                 break
-            tr, dt_s = read_su_gather(path)
+            tr, dt = read_su_gather(path)
+            if dt <= 0:
+                raise ValueError(f"{path}: non-positive dt {dt}s")
+            if dt_s is None:
+                dt_s, first_file = dt, path
+            elif abs(dt - dt_s) > 1e-12:
+                raise ValueError(
+                    f"{path}: dt={dt}s disagrees with {first_file} "
+                    f"(dt={dt_s}s) — mixed acquisition in su_dir")
+            if shots and tr.T.shape != shots[0].shape:
+                raise ValueError(
+                    f"{path}: gather shape {tr.shape} disagrees with "
+                    f"shot1's {shots[0].T.shape} for component "
+                    f"'{comp}'")
             shots.append(tr.T)  # [nt, nrec]
             k += 1
         if not shots:

@@ -172,7 +172,21 @@ class AcousticDIPEngine(EngineBase):
         # with (second-order sponge scheme vs 4th-order split-PML).
         import numpy as _np
         rcv_z_np = _np.asarray(self.wl.geom[2])
+        rcv_x_np = _np.asarray(self.wl.geom[3])
         single_row = bool((rcv_z_np == rcv_z_np[:, :1]).all())
+        if cfg.encoded_shots > 0:
+            # encoded_fwi_gradient combines observed gathers with shot
+            # 0's receiver spread for every super-shot (encoding.py:
+            # 118-119) — valid ONLY for a common spread.  Disk-loaded
+            # geometries with per-shot receiver layouts would get a
+            # silently wrong gradient, so refuse here.
+            common = bool((rcv_z_np == rcv_z_np[:1]).all()
+                          and (rcv_x_np == rcv_x_np[:1]).all())
+            if not common:
+                raise ValueError(
+                    "encoded_shots>0 requires an identical receiver "
+                    "spread (rcv_z/rcv_x) across all shots; this "
+                    "workload's geometry varies per shot")
         self._use_fused = (cfg.backend in ("pallas", "auto")
                            and cfg.misfit == "l1" and mesh is None
                            and single_row and cfg.encoded_shots == 0

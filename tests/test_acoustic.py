@@ -170,17 +170,23 @@ def test_fused_wavelet_gradient_fd_interpret():
     vp = jnp.full((nz, nx), 1800.0, jnp.float32)
     vpt = vp.at[12:20, 15:35].add(200.0)
     obs_norm = trace_normalize(simulate_acoustic(vpt, wav, *geom, cfg))
+    # one explicit KC for BOTH the row scatter and the kernel — the
+    # layouts only line up when the time padding agrees (they happen
+    # to at nt=96 for KC 16 vs the kernel default 32, but a shape
+    # tweak would silently misalign them)
+    KC = 16
     obs_rows = scatter_rows(obs_norm, geom[3], nt=nt, nx=nx,
-                            pml_width=8, KC=16)
+                            pml_width=8, KC=KC)
     dir_rows = jnp.zeros_like(obs_rows)
     wav2 = jnp.broadcast_to(wav[None, :], (2, nt))
 
     def loss_of_wav(w_):
         return fwi_l1_loss_grad(vp, w_, *geom, cfg, obs_rows,
-                                dir_rows, interpret=True)[0]
+                                dir_rows, KC=KC, interpret=True)[0]
 
     loss, _, gwav = fwi_l1_loss_grad(vp, wav2, *geom, cfg, obs_rows,
-                                     dir_rows, want_wavelet_grad=True,
+                                     dir_rows, KC=KC,
+                                     want_wavelet_grad=True,
                                      interpret=True)
     assert np.isfinite(float(loss)) and gwav.shape == (2, nt)
     rng = np.random.default_rng(0)
