@@ -73,6 +73,35 @@ class ExperimentConfig:
     freq_stages: tuple = ()            # e.g. (10.0, 15.0, 20.0) fc_high Hz
     plateau_eps: float = 5e-10
     plateau_history: int = 5
+    plateau_mode: str = "range"        # "range": reference detector
+                                       # (|hi-lo|/|hi| over the window;
+                                       # its 5e-10 eps never fires on
+                                       # real SGD loss scales — the
+                                       # reference's freqL=[20] made it
+                                       # vestigial).  "improve": advance
+                                       # when the window-median loss
+                                       # stops improving by more than
+                                       # plateau_eps relative — robust
+                                       # to random-shot-subset jitter.
+    stage_max_epochs: int = 0          # >0: force-advance a stage
+                                       # after this many epochs (the
+                                       # DENISE practice of fixed
+                                       # iterations per fc stage)
+
+    # elastic gradient conditioning (DENISE taper/filter equivalents)
+    grad_taper_rows: int | None = None  # None -> water_rows (ref
+                                        # networks.py:7808-7814).  The
+                                        # raw adjoint gradient has
+                                        # near-singular values at the
+                                        # src/rcv row (water_rows+1) —
+                                        # tapering only the water rows
+                                        # leaves them in.
+    grad_taper_smooth: int = 0          # cosine-ramp rows below taper
+    grad_smooth: int = 0                # binomial smoothing passes of
+                                        # dJ/dm (DENISE SPATFILTER role)
+    delta_scale: tuple | None = None    # per-field max |delta| (m/s)
+                                        # None -> engine default
+                                        # (300, 200, 150)
 
     # propagator
     order: int = 4

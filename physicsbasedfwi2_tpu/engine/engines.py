@@ -101,6 +101,14 @@ def _set_lr(opt_state, lr: float):
     return opt_state
 
 
+def _log_path(name: str, physics: str, path: str, why: str = ""):
+    """One line per engine build naming the selected physics path —
+    a silent fast-path fallback must never masquerade as the fused
+    headline (the bench JSON carries the same string)."""
+    suffix = f" ({why})" if why else ""
+    print(f"[{name}] {physics} physics path: {path}{suffix}")
+
+
 class EngineBase:
     """Shared checkpoint/bookkeeping plumbing."""
 
@@ -187,16 +195,43 @@ class AcousticDIPEngine(EngineBase):
                     "encoded_shots>0 requires an identical receiver "
                     "spread (rcv_z/rcv_x) across all shots; this "
                     "workload's geometry varies per shot")
+        # (mesh no longer disables the fused path: with a mesh the
+        # fused kernel runs per shot-shard inside shard_map —
+        # shot_sharded_fused_acoustic_gradient)
+        on_tpu = (jax.devices()[0].platform == "tpu"
+                  or cfg.extras.get("fused_interpret", False))
         self._use_fused = (cfg.backend in ("pallas", "auto")
-                           and cfg.misfit == "l1" and mesh is None
+                           and cfg.misfit == "l1"
                            and single_row and cfg.encoded_shots == 0
-                           and jax.devices()[0].platform == "tpu")
+                           and on_tpu)
+        if cfg.encoded_shots > 0:
+            self.physics_path = "encoded"
+        elif self._use_fused:
+            self.physics_path = ("fused+mesh" if mesh is not None
+                                 else "fused")
+        elif mesh is not None:
+            self.physics_path = "sharded-xla"
+        else:
+            self.physics_path = "xla"
+        if not self._use_fused and cfg.encoded_shots == 0:
+            why = [w for cond, w in (
+                (cfg.backend not in ("pallas", "auto"),
+                 f"backend={cfg.backend}"),
+                (cfg.misfit != "l1", f"misfit={cfg.misfit}"),
+                (not single_row, "multi-row receivers"),
+                (not on_tpu, "not on TPU")) if cond]
+            _log_path(cfg.name, "acoustic", self.physics_path,
+                      "fused unavailable: " + ", ".join(why))
+        else:
+            _log_path(cfg.name, "acoustic", self.physics_path)
+        self._interp = bool(cfg.extras.get("fused_interpret", False))
         if self._use_fused and not getattr(self.wl, "from_disk", False):
             # synthetic workload: regenerate obs with the fused path's
             # operator so the misfit is zero at the true model
             from physicsbasedfwi2_tpu.ops.pallas_scalar2 import forward2
             obs = forward2(self.wl.vp_true, self.wl.wavelet,
-                           *self.wl.geom, self.wl.cfg)
+                           *self.wl.geom, self.wl.cfg,
+                           interpret=self._interp)
             self.wl.obs = obs
             self.wl.obs_norm = trace_normalize(obs)
         # direct-wave (constant water-velocity model) simulated ONCE at
@@ -210,7 +245,8 @@ class AcousticDIPEngine(EngineBase):
                 from physicsbasedfwi2_tpu.ops.pallas_scalar2 import forward2
                 self._dir_rows = forward2(const, self.wl.wavelet,
                                           *self.wl.geom, self.wl.cfg,
-                                          return_rows=True)
+                                          return_rows=True,
+                                          interpret=self._interp)
                 cols = (self.wl.geom[3]
                         + self.wl.cfg.grid.pml_width).astype(jnp.int32)
                 dir_recs = jnp.take_along_axis(self._dir_rows,
@@ -321,6 +357,18 @@ class AcousticDIPEngine(EngineBase):
                                    ((0, 0), (0, pad_t), (0, 0)))
             else:
                 dir_rows = jnp.zeros_like(obs_rows)
+            if mesh is not None:
+                # fused x mesh: zero-pad the shot axis to the mesh
+                # size (zero pad shots contribute exactly zero loss
+                # and gradient) and remember the count correction
+                from physicsbasedfwi2_tpu.parallel import (
+                    pad_shots_for_fused)
+                (wavp, szp, sxp, rzp, rxp, obs_rows, dir_rows), \
+                    ns_real, ns_pad = pad_shots_for_fused(
+                        wl.wavelet, *wl.geom, obs_rows, dir_rows,
+                        mesh.shape["shot"])
+                self._fused_pad = (wavp, szp, sxp, rzp, rxp,
+                                   ns_real, ns_pad)
             pd.update(obs_rows=obs_rows, dir_rows=dir_rows)
         elif mesh is not None:
             from physicsbasedfwi2_tpu.parallel import pad_shots_to_multiple
@@ -340,9 +388,22 @@ class AcousticDIPEngine(EngineBase):
                     pd["enc_key"], cfg.encoded_shots,
                     misfit=cfg.misfit)
             if use_fused:
-                return fwi_l1_loss_grad(vp, wl.wavelet, *wl.geom,
-                                        wl.cfg, pd["obs_rows"],
-                                        pd["dir_rows"])
+                if mesh is not None:
+                    from physicsbasedfwi2_tpu.parallel import (
+                        shot_sharded_fused_acoustic_gradient)
+                    wavp, szp, sxp, rzp, rxp, ns_real, ns_pad = \
+                        self._fused_pad
+                    loss, grad = shot_sharded_fused_acoustic_gradient(
+                        mesh, vp, wavp, szp, sxp, rzp, rxp, wl.cfg,
+                        pd["obs_rows"], pd["dir_rows"],
+                        interpret=cfg.extras.get("fused_interpret",
+                                                 False))
+                    s = ns_pad / ns_real
+                    return loss * s, grad * s
+                return fwi_l1_loss_grad(
+                    vp, wl.wavelet, *wl.geom, wl.cfg, pd["obs_rows"],
+                    pd["dir_rows"],
+                    interpret=cfg.extras.get("fused_interpret", False))
             if mesh is None:
                 return jax.value_and_grad(raw)(vp, pd)
             from physicsbasedfwi2_tpu.parallel import (
@@ -630,10 +691,27 @@ class MultiSampleAcousticDIPEngine(EngineBase):
 
 class ElasticDIPEngine(EngineBase):
     """Two-branch elastic FWI with frequency continuation (reference
-    call stack SURVEY.md §3.2)."""
+    call stack SURVEY.md §3.2).
 
-    def __init__(self, cfg: ExperimentConfig, workload=None):
+    Pass ``mesh`` (jax.sharding.Mesh with a "shot" axis) to fan the
+    per-iteration shot subset out across devices — the TPU-native
+    replacement for DENISE's 30-MPI-rank gradient call
+    (networks.py:7709-7710).  Each device runs the fused Pallas
+    kernel (TPU) or the fast XLA scheme on its shot shard inside
+    shard_map, with a psum/pmean reduction over ICI.  Requires
+    shots_per_iter divisible by the mesh's shot axis."""
+
+    def __init__(self, cfg: ExperimentConfig, workload=None, mesh=None):
         self.cfg = cfg
+        self.mesh = mesh
+        if mesh is not None:
+            nsub = cfg.shots_per_iter or cfg.num_shots
+            n_dev = mesh.shape["shot"]
+            if nsub % n_dev:
+                raise ValueError(
+                    f"shots_per_iter ({nsub}) must be divisible by the "
+                    f"mesh shot axis ({n_dev}) — pick e.g. "
+                    f"shots_per_iter={-(-nsub // n_dev) * n_dev}")
         if workload is None and cfg.dataroot:
             from physicsbasedfwi2_tpu.data.synthetic import (
                 elastic_workload_from_disk)
@@ -656,10 +734,24 @@ class ElasticDIPEngine(EngineBase):
         import numpy as _np
         rcv_z_np = _np.asarray(self.wl.geom[2])
         single_row = bool((rcv_z_np == rcv_z_np[:, :1]).all())
+        self._interp = bool(cfg.extras.get("fused_interpret", False))
         self._use_fused = (cfg.backend in ("auto", "pallas")
                            and single_row
-                           and jax.devices()[0].platform == "tpu")
+                           and (jax.devices()[0].platform == "tpu"
+                                or self._interp))
         self._use_fast = cfg.backend in ("auto", "fast", "pallas")
+        base = ("fused" if self._use_fused
+                else "fast" if self._use_fast else "xla")
+        self.physics_path = (base + "+mesh") if mesh is not None else base
+        why = "" if self._use_fused else (
+            "fused unavailable: " + ", ".join(
+                w for cond, w in (
+                    (cfg.backend not in ("auto", "pallas"),
+                     f"backend={cfg.backend}"),
+                    (not single_row, "multi-row receivers"),
+                    (jax.devices()[0].platform != "tpu", "not on TPU"),
+                ) if cond))
+        _log_path(cfg.name, "elastic", self.physics_path, why)
         if self._use_fused:
             from physicsbasedfwi2_tpu.ops.pallas_elastic_fused import (
                 simulate_elastic_ring)
@@ -697,7 +789,8 @@ class ElasticDIPEngine(EngineBase):
         self.opt_state = self.opt.init(self.params)
         # per-field box constraints (DENISE VPUPPERLIM..RHOLOWERLIM,
         # networks.py:7723-7730)
-        self.delta_scale = (300.0, 200.0, 150.0)[: self.n_fields]
+        self.delta_scale = tuple(
+            cfg.delta_scale or (300.0, 200.0, 150.0))[: self.n_fields]
         self.clip_min = (1500.0, 0.0, 900.0)[: self.n_fields]
         self.clip_max = (4700.0, 2700.0, 3000.0)[: self.n_fields]
         self.lr_policy = LrPolicy(cfg) if cfg.optimizer == "adam" else None
@@ -788,31 +881,130 @@ class ElasticDIPEngine(EngineBase):
         names = ("vp", "vs", "rho")[: self.n_fields]
         loss, grads = fused_elastic_loss_grad(
             vp, vs, rho, wav, sz, sx, rz, rx, wl.cfg,
-            pd["orx"][shot_idx], pd["orz"][shot_idx], KC=8, wrt=names)
+            pd["orx"][shot_idx], pd["orz"][shot_idx], KC=8, wrt=names,
+            interpret=self._interp)
         return loss, jnp.stack([grads[k] for k in names], -1)
+
+    def _sharded_value_and_grad(self, m, shot_idx, pd):
+        """(loss, dJ/dm) with the shot subset sharded over the mesh's
+        "shot" axis — the DENISE-over-30-MPI-ranks replacement
+        (networks.py:7709-7710).  On TPU each device runs the fused
+        Pallas kernel on its shard (sharded-fused composition);
+        elsewhere each device autodiffs the fast XLA scheme.  Loss
+        and per-field gradients reduce over ICI."""
+        from jax.sharding import PartitionSpec as P
+        from jax import shard_map
+        from jax import lax
+        mesh, wl = self.mesh, self.wl
+        names = self.field_names
+        n_fields = self.n_fields
+        nsub = shot_idx.shape[0]
+        wav = pd["wav"]
+        wav_s = (wav[shot_idx] if wav.ndim == 2 else
+                 jnp.broadcast_to(wav[None], (nsub, wav.shape[-1])))
+        sz = wl.geom[0][shot_idx]
+        sx = wl.geom[1][shot_idx]
+        rz = wl.geom[2][shot_idx]
+        rx = wl.geom[3][shot_idx]
+        vp, vs = m[..., 0], m[..., 1]
+        rho = m[..., 2] if n_fields == 3 else wl.start["rho"]
+        specs = (P(), P(), P()) + (P("shot"),) * 7
+        outs = (P(),) * (1 + n_fields)
+
+        if self._use_fused:
+            from physicsbasedfwi2_tpu.ops.pallas_elastic_fused import (
+                fused_elastic_loss_grad)
+            orx = pd["orx"][shot_idx]
+            orz = pd["orz"][shot_idx]
+
+            @functools.partial(shard_map, mesh=mesh, in_specs=specs,
+                               out_specs=outs, check_vma=False)
+            def _local(vp, vs, rho, wavb, szb, sxb, rzb, rxb, oxb, ozb):
+                # each fused call normalizes by its LOCAL shot count,
+                # so pmean (not psum) recovers the global mean misfit
+                # and its gradient exactly
+                loss, grads = fused_elastic_loss_grad(
+                    vp, vs, rho, wavb, szb, sxb, rzb, rxb, wl.cfg,
+                    oxb, ozb, KC=8, wrt=names, interpret=self._interp)
+                return (lax.pmean(loss, "shot"),
+                        *(lax.pmean(grads[k], "shot") for k in names))
+
+            out = _local(vp, vs, rho, wav_s, sz, sx, rz, rx, orx, orz)
+            return out[0], jnp.stack(out[1:], -1)
+
+        sim = self._sim
+        ovx = pd["ovx"][shot_idx]
+        ovz = pd["ovz"][shot_idx]
+        denom = nsub * ovx.shape[1] * ovx.shape[2]
+
+        @functools.partial(shard_map, mesh=mesh, in_specs=specs,
+                           out_specs=outs, check_vma=False)
+        def _local(vp, vs, rho, wavb, szb, sxb, rzb, rxb, ovxb, ovzb):
+            def local_loss(*fields):
+                full = [vp, vs, rho]
+                for i, f in enumerate(fields):
+                    full[i] = f
+                pvx, pvz = sim(full[0], full[1], full[2], wavb,
+                               szb, sxb, rzb, rxb, wl.cfg)
+                return (jnp.sum((pvx - ovxb) ** 2)
+                        + jnp.sum((pvz - ovzb) ** 2)) / denom
+
+            args = (vp, vs, rho)[:n_fields]
+            loss, gs = jax.value_and_grad(
+                local_loss, argnums=tuple(range(n_fields)))(*args)
+            return (lax.psum(loss, "shot"),
+                    *(lax.psum(g, "shot") for g in gs))
+
+        out = _local(vp, vs, rho, wav_s, sz, sx, rz, rx, ovx, ovz)
+        return out[0], jnp.stack(out[1:], -1)
 
     def _make_physics_loss(self):
         """Per-field gradient post-processing chain (networks.py:
         7799-7862): top-rows taper + per-field rescale to the model
-        magnitude, over all inverted fields (vp, vs[, rho])."""
+        magnitude, over all inverted fields (vp, vs[, rho]).
+
+        Two DENISE conditioning steps the reference relied on
+        implicitly (they live inside DENISE, not networks.py) are
+        exposed via the config:
+
+        - ``grad_taper_rows``/``grad_taper_smooth``: the raw adjoint
+          gradient is near-singular at the src/rcv row (water_rows+1
+          here) — measured 70x (vp) / 500x (vs) the interior p99 at
+          the start model.  Tapering only the 26 water rows (the
+          literal networks.py:7808-7814 mask) leaves those spikes to
+          dominate the max-normalized update, saturating the decoder.
+          DENISE's SWS_TAPER_CIRCULAR_PER_SHOT covers them.
+        - ``grad_smooth``: binomial spatial smoothing (DENISE
+          SPATFILTER role) for the remaining point singularities.
+        """
         cfg = self.cfg
         raw = self._physics_loss_raw
         n_fields = self.n_fields
         use_fused = self._use_fused
+        taper_rows = (cfg.grad_taper_rows if cfg.grad_taper_rows
+                      is not None else cfg.water_rows)
+        from physicsbasedfwi2_tpu.ops.gradproc import smooth_spatial
 
         @jax.custom_vjp
         def physics_loss(m, shot_idx, pd):
             return raw(m, shot_idx, pd)
 
+        mesh = self.mesh
+
         def fwd(m, shot_idx, pd):
-            if use_fused:
+            if mesh is not None:
+                loss, gm = self._sharded_value_and_grad(m, shot_idx, pd)
+            elif use_fused:
                 loss, gm = self._fused_value_and_grad(m, shot_idx, pd)
             else:
                 loss, gm = jax.value_and_grad(
                     lambda mm: raw(mm, shot_idx, pd))(m)
             cols = []
             for k in range(n_fields):
-                g = taper_top(gm[..., k], cfg.water_rows)
+                g = taper_top(gm[..., k], taper_rows,
+                              smooth=cfg.grad_taper_smooth)
+                if cfg.grad_smooth > 0:
+                    g = smooth_spatial(g, cfg.grad_smooth)
                 cols.append(rescale_to_model(g, m[..., k]))
             return loss, (jnp.stack(cols, -1), pd)
 

@@ -23,24 +23,64 @@ from physicsbasedfwi2_tpu.engine.visualizer import Visualizer
 
 
 class PlateauDetector:
-    """Frequency-continuation plateau detector
-    (trainValLatent4dVel2Elastic.py:136-146): shift-register of the
-    last N losses; advance the stage when the relative change drops
-    below eps."""
+    """Frequency-continuation plateau detector.
 
-    def __init__(self, history: int = 5, eps: float = 5e-10):
-        self.hist = collections.deque(maxlen=history)
+    mode="range" is the reference's shift-register
+    (trainValLatent4dVel2Elastic.py:136-146): advance when the
+    relative spread of the last N losses drops below eps.  Its 5e-10
+    eps never fires on real SGD loss scales (the random 5-shot subset
+    makes per-epoch losses jitter at the percent level), which is why
+    the reference's detector — pointed at a one-element freqL=[20] —
+    was vestigial in practice.
+
+    mode="improve" compares the median of the current window against
+    the median of the previous window: advance when the relative
+    improvement falls below eps.  Medians are robust to the
+    shot-subset jitter, so a percent-level eps is meaningful.
+
+    stage_max_epochs > 0 force-advances after that many epochs in the
+    stage regardless (the DENISE practice of a fixed iteration budget
+    per fc stage)."""
+
+    def __init__(self, history: int = 5, eps: float = 5e-10,
+                 mode: str = "range", stage_max_epochs: int = 0):
+        self.hist = collections.deque(maxlen=2 * history
+                                      if mode == "improve" else history)
+        self.window = history
         self.eps = eps
+        self.mode = mode
+        self.stage_max_epochs = stage_max_epochs
+        self.epochs_in_stage = 0
+
+    def _advance(self) -> bool:
+        self.hist.clear()
+        self.epochs_in_stage = 0
+        return True
 
     def update(self, loss: float) -> bool:
         self.hist.append(loss)
+        self.epochs_in_stage += 1
+        if (self.stage_max_epochs
+                and self.epochs_in_stage >= self.stage_max_epochs):
+            return self._advance()
         if len(self.hist) < self.hist.maxlen:
             return False
-        lo, hi = min(self.hist), max(self.hist)
+        h = list(self.hist)
+        if self.mode == "improve":
+            def median(xs):
+                xs = sorted(xs)
+                n = len(xs)
+                return (xs[n // 2] if n % 2 else
+                        0.5 * (xs[n // 2 - 1] + xs[n // 2]))
+            prev, cur = median(h[: self.window]), median(h[self.window:])
+            rel = (prev - cur) / (abs(prev) + 1e-30)
+            if rel <= self.eps:
+                return self._advance()
+            return False
+        lo, hi = min(h), max(h)
         rel = (hi - lo) / (abs(hi) + 1e-30)
         if rel <= self.eps:
-            self.hist.clear()
-            return True
+            return self._advance()
         return False
 
 
@@ -159,7 +199,9 @@ def train(cfg: ExperimentConfig, *, epochs: int | None = None,
     epochs = epochs if epochs is not None else cfg.n_epochs
     stages = list(cfg.freq_stages) or [None]
     stage_i = 0
-    plateau = PlateauDetector(cfg.plateau_history, cfg.plateau_eps)
+    plateau = PlateauDetector(cfg.plateau_history, cfg.plateau_eps,
+                              mode=cfg.plateau_mode,
+                              stage_max_epochs=cfg.stage_max_epochs)
     history = []
     if profile_dir and profile_epochs > 0:
         import jax

@@ -49,3 +49,21 @@ def rescale_to_model(grad: jnp.ndarray, model: jnp.ndarray,
     comparable across Vp/Vs/Rho."""
     r = jnp.max(jnp.abs(model)) / (jnp.max(jnp.abs(grad)) + eps)
     return grad * r
+
+
+def smooth_spatial(grad: jnp.ndarray, iters: int) -> jnp.ndarray:
+    """Separable binomial [1/4, 1/2, 1/4] smoothing of the gradient,
+    ``iters`` passes per axis (~Gaussian sigma = sqrt(iters/2) cells).
+
+    The DENISE role model is its spatial gradient filtering
+    (SPATFILTER / WD_DAMP preconditioners): the raw adjoint gradient
+    carries near-singular values at the source/receiver cells (the
+    adjoint wavefield is injected there) that otherwise dominate a
+    max-normalized update.  Edge rows/cols use reflect padding so the
+    smoother is mass-preserving."""
+    for _ in range(iters):
+        p = jnp.pad(grad, [(1, 1), (0, 0)], mode="edge")
+        grad = 0.25 * p[:-2] + 0.5 * p[1:-1] + 0.25 * p[2:]
+        p = jnp.pad(grad, [(0, 0), (1, 1)], mode="edge")
+        grad = 0.25 * p[:, :-2] + 0.5 * p[:, 1:-1] + 0.25 * p[:, 2:]
+    return grad

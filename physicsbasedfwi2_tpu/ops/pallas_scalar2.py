@@ -262,7 +262,8 @@ def _vmem_spec(nz8, nx128):
 
 
 def forward2(vp, wavelet, src_z, src_x, rcv_z, rcv_x,
-             cfg: AcousticConfig, *, return_rows: bool = False):
+             cfg: AcousticConfig, *, return_rows: bool = False,
+             interpret: bool = False):
     """Second-order-scheme forward.  With ``return_rows`` the full
     receiver-row history [ns, nt, nx128] is returned instead of the
     gathered traces — the layout the fused kernel's dir_rows/obs_rows
@@ -288,6 +289,7 @@ def forward2(vp, wavelet, src_z, src_x, rcv_z, rcv_x,
     hist = pl.pallas_call(
         kern, grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((ns, g.nt, nx128), jnp.float32),
+        interpret=interpret,
     )(src_z_p, src_x_p, rcv_row, wav, K2d, dp, dm)
     if return_rows:
         return hist

@@ -11,6 +11,8 @@ from physicsbasedfwi2_tpu.parallel.shard import (
     shot_sharded_elastic_gradient,
     sample_shot_sharded_acoustic_gradient,
     pad_shots_to_multiple,
+    pad_shots_for_fused,
+    shot_sharded_fused_acoustic_gradient,
 )
 from physicsbasedfwi2_tpu.parallel.halo import simulate_acoustic_dd
 
@@ -22,5 +24,7 @@ __all__ = [
     "shot_sharded_elastic_gradient",
     "sample_shot_sharded_acoustic_gradient",
     "pad_shots_to_multiple",
+    "pad_shots_for_fused",
+    "shot_sharded_fused_acoustic_gradient",
     "simulate_acoustic_dd",
 ]

@@ -139,3 +139,109 @@ def test_domain_decomposed_matches_single_device():
     assert dd.shape == ref.shape
     rel = np.abs(dd - ref).max() / (np.abs(ref).max() + 1e-20)
     assert rel < 1e-4, rel
+
+
+def test_elastic_engine_with_mesh_matches_single_device():
+    """ElasticDIPEngine(mesh=...) — the DENISE-over-30-MPI-ranks
+    replacement (networks.py:7709-7710) — must produce the same step
+    as the single-device engine (shots fan out over the mesh, pmean
+    over ICI)."""
+    from physicsbasedfwi2_tpu.engine import get_workload
+    from physicsbasedfwi2_tpu.engine.engines import ElasticDIPEngine
+    cfg = get_workload(
+        "marmousi_elastic", nz=32, nx=48, nt=160, dt=0.0015,
+        num_shots=8, num_receivers=16, filters=(4, 8), chunk=20,
+        water_rows=4, pml_width=10, lstart=0, freq=12.0,
+        freq_stages=(), shots_per_iter=8).replace(
+            name="t_el_mesh", save_dir="/tmp/fwi_test_ck")
+    ref = ElasticDIPEngine(cfg)
+    out_r = ref.optimize_parameters(1)
+    eng = ElasticDIPEngine(cfg, mesh=make_mesh())
+    assert eng.physics_path.endswith("+mesh")
+    out_s = eng.optimize_parameters(1)
+    np.testing.assert_allclose(out_s["loss_D_MSE"], out_r["loss_D_MSE"],
+                               rtol=1e-4)
+    np.testing.assert_allclose(out_s["loss_M_MSE"], out_r["loss_M_MSE"],
+                               rtol=1e-4)
+    # a second step keeps training finitely
+    out2 = eng.optimize_parameters(2)
+    assert np.isfinite(out2["loss_D_MSE"])
+
+
+def test_elastic_engine_mesh_requires_divisible_shots():
+    from physicsbasedfwi2_tpu.engine import get_workload
+    from physicsbasedfwi2_tpu.engine.engines import ElasticDIPEngine
+    import pytest
+    cfg = get_workload(
+        "marmousi_elastic", num_shots=10, shots_per_iter=5).replace(
+            name="t_el_mesh_bad", save_dir="/tmp/fwi_test_ck")
+    with pytest.raises(ValueError, match="divisible"):
+        ElasticDIPEngine(cfg, mesh=make_mesh())
+
+
+def test_sharded_fused_acoustic_matches_unsharded(tmp_path):
+    """fused x mesh (interpret mode): the fused Pallas kernel run
+    per shot-shard inside shard_map + pmean — with zero-padded shots
+    and the ns_pad/ns_real correction — equals the unsharded fused
+    call on the real shots."""
+    from physicsbasedfwi2_tpu.ops.pallas_fwi_fused import (
+        fwi_l1_loss_grad, scatter_rows)
+    from physicsbasedfwi2_tpu.parallel import (
+        pad_shots_for_fused, shot_sharded_fused_acoustic_gradient)
+    grid = Grid2D(nz=32, nx=48, dx=10.0, nt=96, dt=0.001, pml_width=8)
+    cfg = AcousticConfig(grid=grid, chunk=16, vmax_pml=3000.0)
+    wav = ricker(12.0, grid.nt, grid.dt)
+    ns = 6  # deliberately NOT divisible by the 8-device mesh
+    acq = surface_line(ns, 16, 48, src_depth=2, rcv_depth=2)
+    geom = tuple(jnp.asarray(a) for a in
+                 (acq.src_z, acq.src_x, acq.rcv_z, acq.rcv_x))
+    vp = jnp.full((32, 48), 1800.0, jnp.float32)
+    vpt = vp.at[12:20, 15:35].add(200.0)
+    obs_norm = trace_normalize(simulate_acoustic(vpt, wav, *geom, cfg))
+    KC = 16
+    obs_rows = scatter_rows(obs_norm, geom[3], nt=grid.nt, nx=grid.nx,
+                            pml_width=8, KC=KC)
+    dir_rows = jnp.zeros_like(obs_rows)
+    loss_r, grad_r = fwi_l1_loss_grad(vp, wav, *geom, cfg, obs_rows,
+                                      dir_rows, KC=KC, interpret=True)
+    mesh = make_mesh()
+    (wavp, szp, sxp, rzp, rxp, obs_p, dir_p), ns_real, ns_pad = \
+        pad_shots_for_fused(wav, *geom, obs_rows, dir_rows, 8)
+    loss_s, grad_s = shot_sharded_fused_acoustic_gradient(
+        mesh, vp, wavp, szp, sxp, rzp, rxp, cfg, obs_p, dir_p,
+        KC=KC, interpret=True)
+    s = ns_pad / ns_real
+    np.testing.assert_allclose(float(loss_s) * s, float(loss_r),
+                               rtol=1e-5)
+    # the composition is exact (verified 7e-13 without jit); under
+    # jit, XLA re-fuses the interpret-mode kernel ops and f32
+    # reordering noise reaches ~2% of the max element on CPU — on
+    # TPU the kernel body is Mosaic-compiled either way
+    gs, gr = np.asarray(grad_s) * s, np.asarray(grad_r)
+    rel = np.abs(gs - gr).max() / (np.abs(gr).max() + 1e-30)
+    assert rel < 3e-2, rel
+
+
+def test_acoustic_engine_mesh_uses_fused_path_interpret():
+    """With fused_interpret the engine composes fused x mesh end to
+    end (the gate no longer silently falls back off the fused kernel
+    when a mesh is present)."""
+    from physicsbasedfwi2_tpu.engine import get_workload
+    from physicsbasedfwi2_tpu.engine.engines import AcousticDIPEngine
+    cfg = get_workload(
+        "marmousi_acoustic", nz=32, nx=48, nt=96, dt=0.001,
+        num_shots=6, num_receivers=16, filters=(4, 8, 16), chunk=16,
+        water_rows=4, pml_width=8).replace(
+            name="t_mesh_fused", save_dir="/tmp/fwi_test_ck",
+            extras={"fused_interpret": True})
+    mesh = make_mesh()
+    eng = AcousticDIPEngine(cfg, mesh=mesh)
+    assert eng.physics_path == "fused+mesh"
+    ref = AcousticDIPEngine(cfg.replace(name="t_single_fused"))
+    assert ref.physics_path == "fused"
+    out_s = eng.optimize_parameters(1)
+    out_r = ref.optimize_parameters(1)
+    np.testing.assert_allclose(out_s["loss_D"], out_r["loss_D"],
+                               rtol=1e-4)
+    np.testing.assert_allclose(out_s["loss_M_MSE"], out_r["loss_M_MSE"],
+                               rtol=1e-4)
