@@ -186,6 +186,32 @@ def run_domain_decomp(n_devices: int) -> float:
     return s
 
 
+def run_elastic_engine(n_devices: int) -> float:
+    """One sharded ElasticDIPEngine training step — the full
+    DENISE-replacement engine (two-branch generator, gradient
+    conditioning, custom-VJP injection, optax update) with its
+    per-iteration shot subset fanned out over the mesh
+    (networks.py:7709-7710's 30-rank role)."""
+    import numpy as np
+
+    from physicsbasedfwi2_tpu.engine.config import get_workload
+    from physicsbasedfwi2_tpu.engine.engines import ElasticDIPEngine
+    from physicsbasedfwi2_tpu.parallel import make_mesh
+
+    mesh = make_mesh(n_devices)
+    cfg = get_workload(
+        "marmousi_elastic", nz=24, nx=32, nt=120, dt=0.0015,
+        num_shots=n_devices, shots_per_iter=n_devices,
+        num_receivers=12, filters=(4, 8), chunk=20, water_rows=4,
+        pml_width=8, lstart=0, freq=12.0, freq_stages=()).replace(
+            name="dryrun_elastic", save_dir="/tmp/dryrun_el")
+    eng = ElasticDIPEngine(cfg, mesh=mesh)
+    out = eng.optimize_parameters(1)
+    loss = out["loss_D_MSE"]
+    assert np.isfinite(loss), f"non-finite elastic loss {loss}"
+    return loss
+
+
 def main(argv=None) -> None:
     argv = argv if argv is not None else sys.argv[1:]
     n = int(argv[0]) if argv else 8
@@ -199,6 +225,9 @@ def main(argv=None) -> None:
     e = run_domain_decomp(n)
     print(f"dryrun_multichip({n}): domain-decomposed forward (halo "
           f"ppermute) OK, energy={e:.6e}")
+    le = run_elastic_engine(n)
+    print(f"dryrun_multichip({n}): sharded elastic engine step OK, "
+          f"loss={le:.6e}")
 
 
 if __name__ == "__main__":
