@@ -36,7 +36,13 @@ def register_dataset(name: str, *, letters: str, scale: dict | None = None):
 register_dataset("unalignedVelABCD2", letters="ABCD")
 register_dataset("unalignedVelABCDEl", letters="ABCD",
                  scale={"B": 100.0, "C": 100.0})  # stored /100 (SI = x100)
-register_dataset("unalignedVelLatent2", letters="ABC")
+# Latent2 (unalignedVelLatent2_dataset.py:29-32, 63-67): dirs A
+# (gathers, runtime x10 amplitude conditioning preserved) and B
+# (velocity, stored in m/s — the reference's /1000 rescale was input
+# conditioning for its km/s-range decoder, undone here so physics
+# stays SI)
+register_dataset("unalignedVelLatent2", letters="AB",
+                 scale={"A": 10.0})
 register_dataset("unaligned2", letters="AB")
 register_dataset("unalignedAC2", letters="AC")
 register_dataset("unalignedBD2", letters="BD")

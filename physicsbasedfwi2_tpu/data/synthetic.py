@@ -240,6 +240,38 @@ def acoustic_workload_from_disk(dataroot: str, *, nz, nx, dx, nt, dt,
         from_disk=True)
 
 
+def latent_workload_from_disk(dataroot: str, *, nz, nx, dx, nt, dt,
+                              pml_width=20, freq=15.0, num_shots=None,
+                              num_receivers=None, chunk=64,
+                              phase: str = "train", sample: int = 0):
+    """Acoustic workload from the reference's Latent2 contract
+    (unalignedVelLatent2_dataset.py: trainA = shot gathers, trainB =
+    velocity model; the latent-inversion workload of
+    VaeLatent2NoPhy_model.py:395-560 — 10 shots, nt=800, dt=1.5 ms,
+    15 Hz).  ``sample`` picks one of the many stored samples (the
+    reference ran batch 64 over them; latent inversion here optimizes
+    one sample's latent at a time)."""
+    from physicsbasedfwi2_tpu.data.npy_datasets import NpyDictDataset
+    ds = NpyDictDataset(dataroot, "unalignedVelLatent2", phase=phase)
+    item = ds[sample]
+    obs = jnp.asarray(item["A"], jnp.float32)
+    vp_true = jnp.asarray(item["B"], jnp.float32).reshape(nz, nx)
+    ns, nt_d, nr = obs.shape
+    num_shots = num_shots or ns
+    num_receivers = num_receivers or nr
+    assert nt_d == nt, f"data nt {nt_d} != config nt {nt}"
+    grid = Grid2D(nz=nz, nx=nx, dx=dx, nt=nt, dt=dt,
+                  pml_width=pml_width)
+    cfg = AcousticConfig(grid=grid, chunk=chunk, vmax_pml=5000.0)
+    wav = ricker(freq, nt, dt)
+    acq = surface_line(num_shots, num_receivers, nx, src_depth=0,
+                       rcv_depth=0)
+    return SyntheticAcousticWorkload(
+        grid=grid, cfg=cfg, acq=acq, wavelet=wav, vp_true=vp_true,
+        vp_start=vp_true, obs=obs, obs_norm=trace_normalize(obs),
+        from_disk=True)
+
+
 def elastic_workload_from_disk(dataroot: str, *, nz, nx, dx, nt, dt,
                                pml_width=20, freq=10.0,
                                free_surface=True, chunk=64,

@@ -99,9 +99,24 @@ class ExperimentConfig:
     grad_taper_smooth: int = 0          # cosine-ramp rows below taper
     grad_smooth: int = 0                # binomial smoothing passes of
                                         # dJ/dm (DENISE SPATFILTER role)
-    delta_scale: tuple | None = None    # per-field max |delta| (m/s)
-                                        # None -> engine default
-                                        # (300, 200, 150)
+    delta_scale: tuple | None = None    # per-field delta scale (m/s):
+                                        # tanh head -> max |delta|
+                                        # bound (None -> 300,200,150);
+                                        # linear head -> gain on the
+                                        # raw decoder output (None ->
+                                        # 100,100,100 — the SI
+                                        # equivalent of the
+                                        # reference's /100-unit
+                                        # additive head)
+    elastic_head: str = "linear"        # "linear": reference-faithful
+                                        # unbounded additive delta
+                                        # (networks.py:7455-7456 vp1 =
+                                        # lowf + vp1f, physical clip
+                                        # only); "tanh": bounded delta
+                                        # — freezes wherever the
+                                        # needed delta exceeds the
+                                        # bound (gradient dies at
+                                        # saturation)
 
     # propagator
     order: int = 4

@@ -772,7 +772,7 @@ class ElasticDIPEngine(EngineBase):
         self.net = define_generator(
             cfg.netG, out_shape=(cfg.nz, cfg.nx), latent_dim=cfg.latent_dim,
             filters=cfg.filters, time_decimation=cfg.time_decimation,
-            dropout=cfg.dropout)
+            dropout=cfg.dropout, head=cfg.elastic_head)
         self.in_vx = jnp.transpose(self.wl.obs_vx, (1, 2, 0))[None]
         self.in_vz = jnp.transpose(self.wl.obs_vz, (1, 2, 0))[None]
         # n_fields comes from the generator: 2 = vp/vs with rho taken
@@ -788,9 +788,13 @@ class ElasticDIPEngine(EngineBase):
         self.opt = _make_optimizer(cfg)
         self.opt_state = self.opt.init(self.params)
         # per-field box constraints (DENISE VPUPPERLIM..RHOLOWERLIM,
-        # networks.py:7723-7730)
+        # networks.py:7723-7730); delta scale is a hard bound for the
+        # tanh head, a unit-conditioning gain for the linear head
+        default_scale = ((300.0, 200.0, 150.0)
+                         if cfg.elastic_head == "tanh"
+                         else (100.0, 100.0, 100.0))
         self.delta_scale = tuple(
-            cfg.delta_scale or (300.0, 200.0, 150.0))[: self.n_fields]
+            cfg.delta_scale or default_scale)[: self.n_fields]
         self.clip_min = (1500.0, 0.0, 900.0)[: self.n_fields]
         self.clip_max = (4700.0, 2700.0, 3000.0)[: self.n_fields]
         self.lr_policy = LrPolicy(cfg) if cfg.optimizer == "adam" else None
@@ -1353,6 +1357,17 @@ class LatentInversionEngine(EngineBase):
         (random) VaeNet decoder is used."""
         from physicsbasedfwi2_tpu.models import VaeNet
         self.cfg = cfg
+        if workload is None and cfg.dataroot:
+            # the reference's latent workload consumed real npy data
+            # (unalignedVelLatent2_dataset.py; VaeLatent2NoPhy_model
+            # .py:395-560)
+            from physicsbasedfwi2_tpu.data.synthetic import (
+                latent_workload_from_disk)
+            workload = latent_workload_from_disk(
+                cfg.dataroot, nz=cfg.nz, nx=cfg.nx, dx=cfg.dx,
+                nt=cfg.nt, dt=cfg.dt, pml_width=cfg.pml_width,
+                freq=cfg.freq, chunk=cfg.chunk,
+                sample=int(cfg.extras.get("latent_sample", 0)))
         self.wl = workload or SyntheticAcousticWorkload.build(
             nz=cfg.nz, nx=cfg.nx, dx=cfg.dx, nt=cfg.nt, dt=cfg.dt,
             pml_width=cfg.pml_width, freq=cfg.freq,

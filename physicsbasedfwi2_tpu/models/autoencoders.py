@@ -112,9 +112,18 @@ class ElasticAutoEncoderNet(nn.Module):
     """Two-component elastic generator (AutoElMarmousiMar22
     capability, networks.py:7215-7553): vx/vz gathers are combined by
     1x1 convs, share one encoder -> latent 8, and decode through
-    per-field branches (Vp, Vs[, Rho]); outputs are tanh *deltas*
-    meant to be added to the low-frequency model (networks.py:
-    7455-7456, rho passthrough 7458).
+    per-field branches (Vp, Vs[, Rho]); outputs are *deltas* added to
+    the low-frequency model (networks.py:7455-7456, rho passthrough
+    7458).
+
+    head="linear" (reference-faithful): the decoder's raw output is
+    the delta, unbounded, exactly networks.py:7455-7456 ``vp1 =
+    lowf[:,0] + vp1f`` — only the physical-bound clip constrains the
+    model.  head="tanh": deltas in [-1, 1] scaled by a per-field
+    bound downstream — bounded, but the tanh KILLS the gradient once
+    a region saturates, freezing the inversion wherever the needed
+    delta exceeds the bound (observed: the Marmousi-like elastic
+    workload needs |dvs| up to ~574 m/s against a 200 m/s bound).
 
     Returns (deltas [B, nz, nx, n_fields], latent)."""
 
@@ -125,6 +134,7 @@ class ElasticAutoEncoderNet(nn.Module):
     time_decimation: int = 4
     dropout: float = 0.0
     norm: str = "group"
+    head: str = "tanh"
 
     @nn.compact
     def __call__(self, shots_vx, shots_vz, *, deterministic: bool = True):
@@ -133,11 +143,12 @@ class ElasticAutoEncoderNet(nn.Module):
         x = jnp.concatenate([cx, cz], axis=-1)
         z = Encoder2D(self.latent_dim, self.filters, self.time_decimation,
                       self.norm)(x, deterministic=deterministic)
+        act = "tanh" if self.head == "tanh" else None
         fields = []
         for k in range(self.n_fields):
             f = Decoder2D(self.out_shape, 1, self.filters,
                           dropout=self.dropout, norm=self.norm,
-                          final_activation="tanh",
+                          final_activation=act,
                           name=f"decoder_field{k}")(
                 z, deterministic=deterministic)
             fields.append(f)

@@ -561,3 +561,36 @@ def test_encoded_acoustic_engine_trains():
     # stochastic re-encoding makes per-iteration loss noisy; the
     # trend over a few steps must still be downward
     assert min(losses[1:]) < losses[0]
+
+
+def test_latent_inversion_from_dataroot(tmp_path):
+    """Latent2-from-disk (VERDICT r2 missing #2): the engine consumes
+    the unalignedVelLatent2 npy contract (trainA = gathers, trainB =
+    velocity; unalignedVelLatent2_dataset.py:29-67) instead of always
+    building a synthetic workload."""
+    from physicsbasedfwi2_tpu.data.synthetic import (
+        SyntheticAcousticWorkload)
+    # author a tiny Latent2 tree from a synthetic workload
+    wl = SyntheticAcousticWorkload.build(
+        nz=40, nx=48, nt=300, dt=0.001, num_shots=4, num_receivers=24,
+        pml_width=12, freq=10.0, seed=5, chunk=25)
+    for letter, arr in (("A", np.asarray(wl.obs) / 10.0),  # stored /10
+                        ("B", np.asarray(wl.vp_true))):
+        d = tmp_path / f"train{letter}"
+        d.mkdir()
+        np.save(d / "0.npy", arr.astype(np.float32))
+    cfg = get_workload(
+        "latent_inversion", nz=40, nx=48, nt=300, dt=0.001,
+        num_shots=4, num_receivers=24, filters=(4, 8, 16), chunk=25,
+        pml_width=12, freq=10.0).replace(
+            name="t_lat_disk", save_dir="/tmp/fwi_test_ck",
+            dataroot=str(tmp_path))
+    eng = create_engine(cfg)
+    assert getattr(eng.wl, "from_disk", False)
+    # the x10 runtime conditioning must be applied by the loader
+    np.testing.assert_allclose(np.asarray(eng.wl.obs),
+                               np.asarray(wl.obs), rtol=1e-6)
+    losses = [eng.optimize_parameters(e)["loss_D_MSE"]
+              for e in range(1, 9)]
+    assert all(np.isfinite(losses))
+    assert min(losses[1:]) < losses[0]
