@@ -108,6 +108,16 @@ class ExperimentConfig:
                                         # equivalent of the
                                         # reference's /100-unit
                                         # additive head)
+    clip_min: tuple | None = None       # per-field physical lower
+                                        # bounds (DENISE VPLOWERLIM..;
+                                        # None -> 1500, 0, 900).
+                                        # Setting clip_min == clip_max
+                                        # pins a field (the reference's
+                                        # RealData marine mode:
+                                        # VSUPPERLIM = VSLOWERLIM = 881,
+                                        # networks.py:10455-10460)
+    clip_max: tuple | None = None       # upper bounds (None ->
+                                        # 4700, 2700, 3000)
     elastic_head: str = "linear"        # "linear": reference-faithful
                                         # unbounded additive delta
                                         # (networks.py:7455-7456 vp1 =

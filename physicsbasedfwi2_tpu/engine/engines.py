@@ -590,7 +590,20 @@ class MultiSampleAcousticDIPEngine(EngineBase):
         wl0 = workloads[0]
         self.vp_true = jnp.stack([w.vp_true for w in workloads])
         self.obs = jnp.stack([w.obs for w in workloads])
-        self.obs_norm = jnp.stack([w.obs_norm for w in workloads])
+        wl_cfg, geom, wav = wl0.cfg, wl0.geom, wl0.wavelet
+        # direct wave: the constant water model is sample-independent,
+        # so ONE simulation serves every sample (the reference
+        # recomputed it per sample per iteration, networks.py:
+        # 5396-5411)
+        self._direct = None
+        if cfg.direct_wave:
+            const = jnp.full_like(wl0.vp_true, cfg.water_vel)
+            self._direct = simulate_acoustic(const, wav, *geom, wl_cfg)
+            if not any(getattr(w, "from_disk", False) for w in workloads):
+                # synthetic storage convention: stored gathers lack
+                # the direct arrival (see AcousticDIPEngine)
+                self.obs = self.obs - self._direct[None]
+        self.obs_norm = trace_normalize(self.obs)
         self.shots_in = jnp.transpose(self.obs, (0, 2, 3, 1))
         self.true_b = self.vp_true[..., None]
         self.net = define_generator(
@@ -602,63 +615,74 @@ class MultiSampleAcousticDIPEngine(EngineBase):
         self.opt = _make_optimizer(cfg)
         self.opt_state = self.opt.init(self.params)
         self.lr_policy = LrPolicy(cfg) if cfg.optimizer == "adam" else None
-        wl_cfg, geom, wav = wl0.cfg, wl0.geom, wl0.wavelet
         mis = cfg.misfit
+        self.physics_path = ("sample-shot-sharded" if mesh is not None
+                             else "xla-vmap")
+        _log_path(cfg.name, "multi-sample acoustic", self.physics_path)
         # batch data as step arguments (n_samples x 18 shots of
         # gathers — at reference scale hundreds of MB of would-be
         # HLO constants; see AcousticDIPEngine._make_physics_loss)
         self._pack = {"shots_in": self.shots_in, "true_b": self.true_b,
                       "vp_true": self.vp_true,
-                      "obs_norm": self.obs_norm}
+                      "obs_norm": self.obs_norm,
+                      "direct": (self._direct
+                                 if self._direct is not None
+                                 else jnp.zeros_like(self.obs[0]))}
 
-        def raw(vps, obs_norm):
+        def raw(vps, obs_norm, direct):
             def per_sample(vp, obs):
                 pred = simulate_acoustic(vp, wav, *geom, wl_cfg)
-                pred = trace_normalize(pred)
+                pred = trace_normalize(pred - direct)
                 r = pred - obs
                 per = jnp.abs(r) if mis == "l1" else r * r
                 return jnp.mean(per)
             return jnp.mean(jax.vmap(per_sample)(vps, obs_norm))
 
-        def value_and_grad_physics(vps, obs_norm):
+        def value_and_grad_physics(vps, obs_norm, direct):
             if mesh is None:
-                return jax.value_and_grad(raw)(vps, obs_norm)
+                return jax.value_and_grad(raw)(vps, obs_norm, direct)
             from physicsbasedfwi2_tpu.parallel import (
                 sample_shot_sharded_acoustic_gradient)
             return sample_shot_sharded_acoustic_gradient(
-                mesh, vps, obs_norm, wav, *geom, wl_cfg, misfit=mis)
+                mesh, vps, obs_norm, wav, *geom, wl_cfg, misfit=mis,
+                direct=direct)
 
         @jax.custom_vjp
-        def physics_loss(vps, obs_norm, vp_true):
-            return raw(vps, obs_norm)
+        def physics_loss(vps, obs_norm, vp_true, direct):
+            return raw(vps, obs_norm, direct)
 
-        def fwd(vps, obs_norm, vp_true):
-            loss, g = value_and_grad_physics(vps, obs_norm)
+        def fwd(vps, obs_norm, vp_true, direct):
+            loss, g = value_and_grad_physics(vps, obs_norm, direct)
             g = jax.vmap(lambda gi, ti: water_mask(
                 depth_weighting(gi, 2.0), ti, cfg.water_vel))(
                 g, vp_true)
-            return loss, (g * cfg.grad_scale, obs_norm, vp_true)
+            return loss, (g * cfg.grad_scale, obs_norm, vp_true, direct)
 
         def bwd(res, ct):
-            g, obs_norm, vp_true = res
+            g, obs_norm, vp_true, direct = res
             return (ct * g, jnp.zeros_like(obs_norm),
-                    jnp.zeros_like(vp_true))
+                    jnp.zeros_like(vp_true), jnp.zeros_like(direct))
 
         physics_loss.defvjp(fwd, bwd)
 
-        def total_loss(params, pack):
+        def total_loss(params, use_physics, pack):
             from physicsbasedfwi2_tpu.models import pack_output
             out = pack_output(self.net.apply(params, pack["shots_in"]))
             vps = apply_velocity_output(out.field, pack["true_b"],
                                         water_vel=cfg.water_vel)[..., 0]
             mse = jnp.mean((vps - pack["vp_true"]) ** 2)
+            if not use_physics:
+                # lstart warmup: model-MSE oracle phase, matching the
+                # single-sample engine (grad only if epoch > lstart,
+                # networks.py:5286)
+                return mse, mse
             return physics_loss(vps, pack["obs_norm"],
-                                pack["vp_true"]), mse
+                                pack["vp_true"], pack["direct"]), mse
 
-        @jax.jit
-        def train_step(params, opt_state, pack):
+        @functools.partial(jax.jit, static_argnames=("use_physics",))
+        def train_step(params, opt_state, use_physics: bool, pack):
             (loss, mse), grads = jax.value_and_grad(
-                total_loss, has_aux=True)(params, pack)
+                total_loss, has_aux=True)(params, use_physics, pack)
             updates, opt_state = self.opt.update(grads, opt_state, params)
             return optax.apply_updates(params, updates), opt_state, \
                 loss, mse
@@ -668,10 +692,12 @@ class MultiSampleAcousticDIPEngine(EngineBase):
     def optimize_parameters(self, epoch: int):
         if self.lr_policy is not None:
             _set_lr(self.opt_state, self.lr_policy.lr_for_epoch(epoch))
+        use_physics = epoch > self.cfg.lstart
         self.params, self.opt_state, loss, mse = self._train_step(
-            self.params, self.opt_state, self._pack)
+            self.params, self.opt_state, use_physics, self._pack)
         loss, mse = map(float, jax.device_get((loss, mse)))
-        out = {"loss_D": loss, "loss_M_MSE": mse}
+        out = {"loss_D" if use_physics else "loss_M": loss,
+               "loss_M_MSE": mse}
         if self.lr_policy is not None:
             out["lr"] = self.lr_policy.after_epoch(loss)
         return out
@@ -795,8 +821,10 @@ class ElasticDIPEngine(EngineBase):
                          else (100.0, 100.0, 100.0))
         self.delta_scale = tuple(
             cfg.delta_scale or default_scale)[: self.n_fields]
-        self.clip_min = (1500.0, 0.0, 900.0)[: self.n_fields]
-        self.clip_max = (4700.0, 2700.0, 3000.0)[: self.n_fields]
+        self.clip_min = tuple(
+            cfg.clip_min or (1500.0, 0.0, 900.0))[: self.n_fields]
+        self.clip_max = tuple(
+            cfg.clip_max or (4700.0, 2700.0, 3000.0))[: self.n_fields]
         self.lr_policy = LrPolicy(cfg) if cfg.optimizer == "adam" else None
         self._rng = jax.random.PRNGKey(cfg.seed + 7)
         self._step_cache = {}

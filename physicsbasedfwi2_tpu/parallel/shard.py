@@ -90,7 +90,8 @@ def shot_sharded_acoustic_gradient(mesh: Mesh, vp, obs_norm, wavelet,
 def sample_shot_sharded_acoustic_gradient(
         mesh: Mesh, vps, obs_norm, wavelet, src_z, src_x, rcv_z, rcv_x,
         cfg: AcousticConfig, *, misfit: str = "l2",
-        sample_axis: str = "sample", shot_axis: str = "shot"):
+        sample_axis: str = "sample", shot_axis: str = "shot",
+        direct=None):
     """(loss, dJ/dvps) over a 2D {sample, shot} mesh — the TPU-native
     replacement for the reference's Ray per-sample GPU fan-out
     (Auto_model.py:185-199: @ray.remote prop per sample) composed
@@ -100,24 +101,31 @@ def sample_shot_sharded_acoustic_gradient(
         ``sample_axis``).
     obs_norm: [B, ns, nt, nr] trace-normalized data (sharded over
         both axes).
+    direct: optional [ns, nt, nr] constant-model direct-wave traces
+        (identical across samples — the constant water model doesn't
+        depend on the sample) subtracted from pred before
+        normalization (networks.py:5467).
     Geometry arrays are shared across samples and sharded over
     ``shot_axis``.  Returns the mean misfit over all samples/shots
     and per-sample gradients [B, nz, nx] (sharded over samples).
     """
     B, ns, nt, nr = obs_norm.shape
+    if direct is None:
+        direct = jnp.zeros(obs_norm.shape[1:], obs_norm.dtype)
 
     @jax.jit
     @functools.partial(
         shard_map, mesh=mesh,
         in_specs=(P(sample_axis), P(sample_axis, shot_axis),
                   P(shot_axis), P(shot_axis), P(shot_axis),
-                  P(shot_axis), P()),
+                  P(shot_axis), P(), P(shot_axis)),
         out_specs=(P(), P(sample_axis)),
         check_vma=False)
-    def _grad(vp_blk, obs_blk, sz, sx, rz, rx, wav):
+    def _grad(vp_blk, obs_blk, sz, sx, rz, rx, wav, dirw):
         def local_loss(vpb):
             def per_sample(vp, obs):
                 pred = simulate_acoustic(vp, wav, sz, sx, rz, rx, cfg)
+                pred = pred - dirw
                 m = jnp.max(jnp.abs(pred), axis=1, keepdims=True)
                 pred = pred / (m + 1e-10)
                 r = pred - obs
@@ -131,7 +139,8 @@ def sample_shot_sharded_acoustic_gradient(
         g = lax.psum(g, shot_axis)  # sample-sharded grads stay local
         return loss, g
 
-    loss, g = _grad(vps, obs_norm, src_z, src_x, rcv_z, rcv_x, wavelet)
+    loss, g = _grad(vps, obs_norm, src_z, src_x, rcv_z, rcv_x, wavelet,
+                    direct)
     denom = B * ns * nt * nr
     return loss / denom, g / denom
 

@@ -594,3 +594,28 @@ def test_latent_inversion_from_dataroot(tmp_path):
               for e in range(1, 9)]
     assert all(np.isfinite(losses))
     assert min(losses[1:]) < losses[0]
+
+
+def test_multi_sample_engine_direct_wave_and_warmup():
+    """The batch engine shares the single-sample misfit pipeline
+    (VERDICT r2 weak #4): direct-wave subtraction changes the loss
+    (networks.py:5396-5411 applied per sample) and lstart gates a
+    model-MSE warmup phase."""
+    small = dict(SMALL_AC)
+    base = get_workload("marmousi_acoustic", **small).replace(
+        name="t_msdw", save_dir="/tmp/fwi_test_ck",
+        engine="acoustic_dip_multi")
+    e_on = create_engine(base.replace(direct_wave=True), n_samples=2)
+    e_off = create_engine(base.replace(direct_wave=False), n_samples=2)
+    assert e_on._direct is not None and e_off._direct is None
+    l_on = e_on.optimize_parameters(1)["loss_D"]
+    l_off = e_off.optimize_parameters(1)["loss_D"]
+    assert np.isfinite(l_on) and np.isfinite(l_off)
+    assert abs(l_on - l_off) > 1e-9
+    # warmup phase: epoch <= lstart reports loss_M (oracle), after
+    # reports loss_D
+    e_w = create_engine(base.replace(lstart=2), n_samples=2)
+    r1 = e_w.optimize_parameters(1)
+    assert "loss_M" in r1 and "loss_D" not in r1
+    r3 = e_w.optimize_parameters(3)
+    assert "loss_D" in r3
