@@ -159,7 +159,15 @@ class SyntheticElasticWorkload:
     def build(cls, *, nz=100, nx=300, dx=20.0, nt=1667, dt=0.0015,
               pml_width=20, freq=10.0, num_shots=35, num_receivers=298,
               seed=0, water_rows=26, chunk=64, free_surface=True,
-              fc_low: float | None = None):
+              fc_low: float | None = None, src_depth_row=None,
+              rcv_depth_row=None, rcv_follow_seabed=False):
+        """src_depth_row / rcv_depth_row: explicit acquisition rows
+        (SEAM: sources at 180 m = row 6 at dx=30, receivers at
+        depth_rec = 23*30 m = row 23, networks.py:9688-9712);
+        default water_rows+1 (the Marmousi just-below-seabed line).
+        rcv_follow_seabed: per-column receiver depths from the water
+        bottom — the reference's nnz geometry (networks.py:
+        4898-4946)."""
         grid = Grid2D(nz=nz, nx=nx, dx=dx, nt=nt, dt=dt,
                       pml_width=pml_width, free_surface=free_surface)
         cfg = ElasticConfig(grid=grid, chunk=chunk, vmax_pml=5000.0)
@@ -170,14 +178,17 @@ class SyntheticElasticWorkload:
         vp_s = smooth_model(vp_t, preserve_rows=water_rows)
         vs_s = smooth_model(vs_t, preserve_rows=water_rows)
         rho_s = smooth_model(rho_t, preserve_rows=water_rows)
-        num_shots = num_shots
-        src_x = np.round(np.linspace(2, nx - 3, num_shots)).astype(np.int32)
-        src_z = np.full(num_shots, min(water_rows + 1, nz - 2), np.int32)
-        rx = np.round(np.linspace(1, nx - 2, num_receivers)).astype(np.int32)
-        acq = Acquisition(src_z, src_x,
-                          np.full((num_shots, num_receivers),
-                                  min(water_rows + 1, nz - 2), np.int32),
-                          np.tile(rx, (num_shots, 1)))
+        from physicsbasedfwi2_tpu.geo.acquisition import (
+            elastic_line, seabed_rows)
+        src_row = (src_depth_row if src_depth_row is not None
+                   else water_rows + 1)
+        rcv_row = (rcv_depth_row if rcv_depth_row is not None
+                   else water_rows + 1)
+        acq = elastic_line(
+            num_shots, num_receivers, nx, nz, src_row=src_row,
+            rcv_row=rcv_row,
+            rcv_rows_per_col=(seabed_rows(vp_t)
+                              if rcv_follow_seabed else None))
         geom = tuple(jnp.asarray(a) for a in
                      (acq.src_z, acq.src_x, acq.rcv_z, acq.rcv_x))
         ovx, ovz = simulate_elastic(jnp.asarray(vp_t), jnp.asarray(vs_t),
@@ -276,18 +287,27 @@ def elastic_workload_from_disk(dataroot: str, *, nz, nx, dx, nt, dt,
                                pml_width=20, freq=10.0,
                                free_surface=True, chunk=64,
                                num_shots=None, num_receivers=None,
-                               water_rows=26, phase: str = "train"):
+                               water_rows=26, phase: str = "train",
+                               src_depth_row=None, rcv_depth_row=None,
+                               rcv_follow_seabed=False):
     """Elastic workload from the unalignedVelABCDEl contract
     (A = vx gathers, B = [Vp;Vs;Rho]/100, C = low-freq triple /100,
     D = vz gathers — the /100 storage units are undone by the dataset
-    mode's scale, data/unalignedVelABCDEl_dataset.py:84-87)."""
+    mode's scale, data/unalignedVelABCDEl_dataset.py:84-87).
+
+    trainB is OPTIONAL: field data (the AutoRealData workload, SU
+    gathers ingested by ``fwi-prep --su-obs``) has no ground-truth
+    model — the starting model (trainC) then doubles as the metric
+    reference, so reported "model MSE" measures distance from the
+    start, not inversion quality."""
     from physicsbasedfwi2_tpu.data.npy_datasets import NpyDictDataset
     ds = NpyDictDataset(dataroot, "unalignedVelABCDEl", phase=phase)
     item = ds[0]
     ovx = jnp.asarray(item["A"])
     ovz = jnp.asarray(item["D"])
-    b = jnp.asarray(item["B"]).reshape(3, nz, nx)
     c = jnp.asarray(item["C"]).reshape(3, nz, nx)
+    b = (jnp.asarray(item["B"]).reshape(3, nz, nx) if "B" in item
+         else c)
     ns, nt_d, nr = ovx.shape
     assert nt_d == nt, f"data nt {nt_d} != config nt {nt}"
     grid = Grid2D(nz=nz, nx=nx, dx=dx, nt=nt, dt=dt,
@@ -296,13 +316,17 @@ def elastic_workload_from_disk(dataroot: str, *, nz, nx, dx, nt, dt,
     wav = ricker(freq, nt, dt)
     num_shots = num_shots or ns
     num_receivers = num_receivers or nr
-    src_x = np.round(np.linspace(2, nx - 3, num_shots)).astype(np.int32)
-    src_z = np.full(num_shots, min(water_rows + 1, nz - 2), np.int32)
-    rx = np.round(np.linspace(1, nx - 2, num_receivers)).astype(np.int32)
-    acq = Acquisition(src_z, src_x,
-                      np.full((num_shots, num_receivers),
-                              min(water_rows + 1, nz - 2), np.int32),
-                      np.tile(rx, (num_shots, 1)))
+    from physicsbasedfwi2_tpu.geo.acquisition import (
+        elastic_line, seabed_rows)
+    src_row = (src_depth_row if src_depth_row is not None
+               else water_rows + 1)
+    rcv_row = (rcv_depth_row if rcv_depth_row is not None
+               else water_rows + 1)
+    acq = elastic_line(
+        num_shots, num_receivers, nx, nz, src_row=src_row,
+        rcv_row=rcv_row,
+        rcv_rows_per_col=(seabed_rows(np.asarray(b[0]))
+                          if rcv_follow_seabed else None))
     return SyntheticElasticWorkload(
         grid=grid, cfg=cfg, acq=acq, wavelet=wav,
         true={"vp": b[0], "vs": b[1], "rho": b[2]},

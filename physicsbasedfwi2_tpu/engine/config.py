@@ -254,11 +254,42 @@ register_workload("latent_inversion", ExperimentConfig(
 ))
 
 # --- BASELINE.json config 5: SEAM elastic + MCDIP UQ ---------------------
+# SEAM geometry (networks.py:9637-9712): dx=30, 9 s records at 5 Hz,
+# sources every 8*30 m at 180 m depth (row 6), receiver line every
+# 30 m at depth_rec = 23*30 m (row 23), 4 random shots/iter; the
+# seabed-following nnz receiver mode (networks.py:4898-4946) is the
+# rcv_follow_seabed extra (geo.acquisition.seabed_rows)
 register_workload("seam_elastic", _EL.replace(
-    netG="AutoSEAMMar22", dx=30.0, nz=120, nx=300, num_shots=20,
-    num_receivers=148))
+    netG="AutoSEAMMar22", dx=30.0, nz=120, nx=324, nt=2568, dt=0.0035,
+    freq=5.0, num_shots=38, shots_per_iter=4, num_receivers=300,
+    water_rows=20,
+    extras={"src_depth_row": 6, "rcv_depth_row": 23}))
+register_workload("seam_elastic_seabed", _EL.replace(
+    netG="AutoSEAMMar22", dx=30.0, nz=120, nx=324, nt=2568, dt=0.0035,
+    freq=5.0, num_shots=38, shots_per_iter=4, num_receivers=300,
+    water_rows=20,
+    extras={"src_depth_row": 6, "rcv_follow_seabed": True}))
 register_workload("mcdip_uq", _EL.replace(
     netG="AutoElMarMCDIP22", dropout=0.1))
+
+# --- field-data workload (AutoRealData, networks.py:9937-10580) ----------
+# Marine setting: DT=3.5 ms, TIME=7.0035 s (nt=2001), 5 Hz source,
+# FREE_SURF=0, receivers at depth 23*30 m, 8*30 m source spacing;
+# vp-only inversion — DENISE bounds pin vs and rho
+# (VSUPPERLIM = VSLOWERLIM = 881, RHOUPPERLIM = RHOLOWERLIM = 1010,
+# networks.py:10448-10460), band 3-10 Hz (add_fwi_stage fc_low=3.0,
+# fc_high=10.0).  Observed data arrives via `fwi-prep --su-obs`
+# (trainA/trainD SU ingestion); trainB is optional for field data.
+# (dt 2 ms instead of DENISE's 3.5 ms: the VPUPPERLIM of 6000 m/s
+# violates the explicit staggered-grid CFL bound at 3.5 ms x 30 m —
+# DENISE's implicit damping tolerated it; we keep the record length
+# in samples and stay stable)
+register_workload("real_data", _EL.replace(
+    netG="AutoRealData", dx=30.0, nz=150, nx=300, nt=2001, dt=0.002,
+    freq=5.0, free_surface=False, num_shots=12, shots_per_iter=4,
+    num_receivers=280, water_rows=0, freq_stages=(3.0, 6.0, 10.0),
+    clip_min=(3000.0, 881.0, 1010.0), clip_max=(6000.0, 881.0, 1010.0),
+    extras={"src_depth_row": 2, "rcv_depth_row": 23}))
 
 # --- classic FWI (no net): AutoEl22N (networks.py:6477-6520) -------------
 register_workload("classic_fwi_elastic", _EL.replace(

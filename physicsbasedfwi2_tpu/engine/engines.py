@@ -745,13 +745,21 @@ class ElasticDIPEngine(EngineBase):
                 cfg.dataroot, nz=cfg.nz, nx=cfg.nx, dx=cfg.dx,
                 nt=cfg.nt, dt=cfg.dt, pml_width=cfg.pml_width,
                 freq=cfg.freq, free_surface=cfg.free_surface,
-                chunk=cfg.chunk, water_rows=cfg.water_rows)
+                chunk=cfg.chunk, water_rows=cfg.water_rows,
+                src_depth_row=cfg.extras.get("src_depth_row"),
+                rcv_depth_row=cfg.extras.get("rcv_depth_row"),
+                rcv_follow_seabed=cfg.extras.get("rcv_follow_seabed",
+                                                 False))
         self.wl = workload or SyntheticElasticWorkload.build(
             nz=cfg.nz, nx=cfg.nx, dx=cfg.dx, nt=cfg.nt, dt=cfg.dt,
             pml_width=cfg.pml_width, freq=cfg.freq,
             num_shots=cfg.num_shots, num_receivers=cfg.num_receivers,
             seed=cfg.seed, chunk=cfg.chunk,
-            free_surface=cfg.free_surface, water_rows=cfg.water_rows)
+            free_surface=cfg.free_surface, water_rows=cfg.water_rows,
+            src_depth_row=cfg.extras.get("src_depth_row"),
+            rcv_depth_row=cfg.extras.get("rcv_depth_row"),
+            rcv_follow_seabed=cfg.extras.get("rcv_follow_seabed",
+                                             False))
         # fast paths (operator consistency mirrors the acoustic
         # engine: synthetic obs are regenerated with the operator the
         # inversion uses):
@@ -1270,7 +1278,11 @@ class ClassicFWIEngine(EngineBase):
                 cfg.dataroot, nz=cfg.nz, nx=cfg.nx, dx=cfg.dx,
                 nt=cfg.nt, dt=cfg.dt, pml_width=cfg.pml_width,
                 freq=cfg.freq, free_surface=cfg.free_surface,
-                chunk=cfg.chunk, water_rows=cfg.water_rows)
+                chunk=cfg.chunk, water_rows=cfg.water_rows,
+                src_depth_row=cfg.extras.get("src_depth_row"),
+                rcv_depth_row=cfg.extras.get("rcv_depth_row"),
+                rcv_follow_seabed=cfg.extras.get("rcv_follow_seabed",
+                                                 False))
         self.wl = workload or SyntheticElasticWorkload.build(
             nz=cfg.nz, nx=cfg.nx, dx=cfg.dx, nt=cfg.nt, dt=cfg.dt,
             pml_width=cfg.pml_width, freq=cfg.freq,

