@@ -117,24 +117,50 @@ class EngineBase:
     opt_state: Any
 
     def save_networks(self, tag: str | int):
-        """Orbax-free portable save (np .npz of flattened params) —
-        the <epoch>_net_G.pth role (base_model.py:154-170).  Full
-        train-state checkpointing (optimizer state included — which
-        the reference drops) lives in engine/checkpoint.py."""
-        import pickle
+        """Portable weight save: np .npz of path-keyed flattened
+        params — the <epoch>_net_G.pth role (base_model.py:154-170)
+        with NO pickle anywhere in the default path (pickle.load
+        executes arbitrary code from the file).  Full train-state
+        checkpointing (optimizer state included — which the
+        reference drops) lives in engine/checkpoint.py (orbax)."""
         os.makedirs(self._dir(), exist_ok=True)
-        path = os.path.join(self._dir(), f"{tag}_net_G.pkl")
-        with open(path, "wb") as f:
-            pickle.dump(jax.tree_util.tree_map(np.asarray, self.params), f)
+        path = os.path.join(self._dir(), f"{tag}_net_G.npz")
+        flat = jax.tree_util.tree_leaves_with_path(self.params)
+        arrs = {jax.tree_util.keystr(k): np.asarray(v)
+                for k, v in flat}
+        np.savez(path, **arrs)
         return path
 
     def load_networks(self, tag: str | int):
-        import pickle
-        path = os.path.join(self._dir(), f"{tag}_net_G.pkl")
-        with open(path, "rb") as f:
-            loaded = pickle.load(f)
-        self.params = jax.tree_util.tree_map(jnp.asarray, loaded)
-        return path
+        """Restore weights saved by :meth:`save_networks` into the
+        engine's (already-initialized) params template.  Falls back
+        to a ONE-WAY import of a legacy round-2 ``.pkl`` checkpoint
+        when no ``.npz`` exists."""
+        path = os.path.join(self._dir(), f"{tag}_net_G.npz")
+        if os.path.exists(path):
+            with np.load(path) as z:
+                flat = {k: z[k] for k in z.files}
+
+            def fill(kp, leaf):
+                arr = flat[jax.tree_util.keystr(kp)]
+                if arr.shape != leaf.shape:
+                    raise ValueError(
+                        f"checkpoint leaf {jax.tree_util.keystr(kp)} "
+                        f"has shape {arr.shape}, engine expects "
+                        f"{leaf.shape}")
+                return jnp.asarray(arr)
+
+            self.params = jax.tree_util.tree_map_with_path(
+                fill, self.params)
+            return path
+        legacy = os.path.join(self._dir(), f"{tag}_net_G.pkl")
+        if os.path.exists(legacy):
+            import pickle  # legacy import only; new saves are .npz
+            with open(legacy, "rb") as f:
+                loaded = pickle.load(f)
+            self.params = jax.tree_util.tree_map(jnp.asarray, loaded)
+            return legacy
+        raise FileNotFoundError(path)
 
     def _dir(self):
         return os.path.join(self.cfg.save_dir, self.cfg.name)

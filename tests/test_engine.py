@@ -352,7 +352,7 @@ def test_train_driver_and_plateau():
     eng, hist = train(cfg, epochs=2, quiet=True)
     assert len(hist) == 2
     assert os.path.exists("/tmp/fwi_test_ck/t_drv/loss_log.txt")
-    assert os.path.exists("/tmp/fwi_test_ck/t_drv/latest_net_G.pkl")
+    assert os.path.exists("/tmp/fwi_test_ck/t_drv/latest_net_G.npz")
 
 
 def test_supervised_batch_epoch_loop(tmp_path):
