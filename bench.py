@@ -212,6 +212,10 @@ def main():
         "value": round(dt_iter, 5),
         "unit": "s",
         "vs_baseline": round(BASELINE_IT_LAP / dt_iter, 2),
+        # the physics path the headline was measured on — a silent
+        # fallback can't masquerade as the fused number (VERDICT r2
+        # weak #3)
+        "path": "fused" if backend == "pallas" else backend,
     }), flush=True)
 
     el_scheme = "fused" if on_tpu else "fast"
@@ -235,6 +239,7 @@ def main():
             "value": round(dt_el, 5),
             "unit": "s",
             "vs_baseline": round(ELASTIC_R1_XLA_PML / dt_el, 2),
+            "path": el_scheme,
             "baseline": "round-1 split-PML XLA gradient (0.52 s); the "
                         "reference preserved no DENISE wall-clocks "
                         "(30-rank MPI, typically tens of seconds)",
@@ -251,6 +256,7 @@ def main():
         print(json.dumps({
             "metric": "marmousi_acoustic_engine_iteration_end_to_end",
             "value": dt_e2e,
+            "path": r.get("path", "unknown"),
             "unit": "s",
             "vs_baseline": round(BASELINE_IT_LAP / dt_e2e, 2),
             "baseline": "reference it_lap 0.35 s (same end-to-end "

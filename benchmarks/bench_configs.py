@@ -67,6 +67,7 @@ def bench_one(workload: str, iters: int) -> dict:
         "seconds_per_iteration": round(dt, 5),
         "shots_per_sec": round(shots / dt, 2),
         "mcell_steps_per_sec": round(cells * cfg.nt * shots / dt / 1e6, 1),
+        "path": getattr(eng, "physics_path", "n/a"),
     }
 
 
