@@ -99,6 +99,19 @@ class ExperimentConfig:
     grad_taper_smooth: int = 0          # cosine-ramp rows below taper
     grad_smooth: int = 0                # binomial smoothing passes of
                                         # dJ/dm (DENISE SPATFILTER role)
+    grad_rescale: str = "max"           # "max": DENISE r1..r3 — max|g|
+                                        # rescaled to max|m| EVERY
+                                        # iteration (keeps the update
+                                        # pressure constant even at
+                                        # convergence); "none": fixed
+                                        # grad_scale multiplier (the
+                                        # acoustic engine's x1e5
+                                        # convention — gradient decays
+                                        # naturally with the residual)
+    grad_depth_power: float = 0.0       # depth^p weighting of the
+                                        # elastic gradient (the
+                                        # acoustic engine uses p=2,
+                                        # networks.py:5329-5332)
     delta_scale: tuple | None = None    # per-field delta scale (m/s):
                                         # tanh head -> max |delta|
                                         # bound (None -> 300,200,150);

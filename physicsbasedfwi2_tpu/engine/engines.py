@@ -795,8 +795,10 @@ class ElasticDIPEngine(EngineBase):
         rcv_z_np = _np.asarray(self.wl.geom[2])
         single_row = bool((rcv_z_np == rcv_z_np[:, :1]).all())
         self._interp = bool(cfg.extras.get("fused_interpret", False))
+        # the fused elastic kernel computes the raw-L2 misfit; the
+        # trace-normalized variants run on the fast XLA scheme
         self._use_fused = (cfg.backend in ("auto", "pallas")
-                           and single_row
+                           and single_row and cfg.misfit == "l2"
                            and (jax.devices()[0].platform == "tpu"
                                 or self._interp))
         self._use_fast = cfg.backend in ("auto", "fast", "pallas")
@@ -809,7 +811,9 @@ class ElasticDIPEngine(EngineBase):
                     (cfg.backend not in ("auto", "pallas"),
                      f"backend={cfg.backend}"),
                     (not single_row, "multi-row receivers"),
-                    (jax.devices()[0].platform != "tpu", "not on TPU"),
+                    (cfg.misfit != "l2", f"misfit={cfg.misfit}"),
+                    (jax.devices()[0].platform != "tpu"
+                     and not self._interp, "not on TPU"),
                 ) if cond))
         _log_path(cfg.name, "elastic", self.physics_path, why)
         if self._use_fused:
@@ -913,7 +917,13 @@ class ElasticDIPEngine(EngineBase):
         the d.grad() role (networks.py:7787).  ``m`` is the stacked
         [nz, nx, F] model; with F == 2 the density entering the
         simulation is the LOW-FREQUENCY rho (networks.py:7458 — never
-        the ground truth)."""
+        the ground truth).
+
+        misfit="l2" is DENISE's raw L2 (lnorm=2); "tnl2"/"tnl1" are
+        trace-max-normalized variants (the conditioning the
+        reference's ACOUSTIC path uses, networks.py:5418-5419 —
+        equalizes trace energy so near-source/interface events don't
+        dominate)."""
         wl = self.wl
         wav = pd["wav"]
         sz = wl.geom[0][shot_idx]
@@ -927,6 +937,12 @@ class ElasticDIPEngine(EngineBase):
         pvx, pvz = self._sim(vp, vs, rho, wav, sz, sx, rz, rx, wl.cfg)
         ovx = pd["ovx"][shot_idx]
         ovz = pd["ovz"][shot_idx]
+        if self.cfg.misfit in ("tnl2", "tnl1"):
+            pvx, pvz = trace_normalize(pvx), trace_normalize(pvz)
+            ovx, ovz = trace_normalize(ovx), trace_normalize(ovz)
+            if self.cfg.misfit == "tnl1":
+                return (jnp.mean(jnp.abs(pvx - ovx))
+                        + jnp.mean(jnp.abs(pvz - ovz)))
         return jnp.mean((pvx - ovx) ** 2) + jnp.mean((pvz - ovz) ** 2)
 
     def _fused_value_and_grad(self, m, shot_idx, pd):
@@ -1002,6 +1018,7 @@ class ElasticDIPEngine(EngineBase):
         ovx = pd["ovx"][shot_idx]
         ovz = pd["ovz"][shot_idx]
         denom = nsub * ovx.shape[1] * ovx.shape[2]
+        misfit = self.cfg.misfit
 
         @functools.partial(shard_map, mesh=mesh, in_specs=specs,
                            out_specs=outs, check_vma=False)
@@ -1012,8 +1029,17 @@ class ElasticDIPEngine(EngineBase):
                     full[i] = f
                 pvx, pvz = sim(full[0], full[1], full[2], wavb,
                                szb, sxb, rzb, rxb, wl.cfg)
-                return (jnp.sum((pvx - ovxb) ** 2)
-                        + jnp.sum((pvz - ovzb) ** 2)) / denom
+                ox, oz = ovxb, ovzb
+                if misfit in ("tnl2", "tnl1"):
+                    # per-trace normalization is shot-local -> exact
+                    # under shot sharding
+                    pvx, pvz = trace_normalize(pvx), trace_normalize(pvz)
+                    ox, oz = trace_normalize(ox), trace_normalize(oz)
+                    if misfit == "tnl1":
+                        return (jnp.sum(jnp.abs(pvx - ox))
+                                + jnp.sum(jnp.abs(pvz - oz))) / denom
+                return (jnp.sum((pvx - ox) ** 2)
+                        + jnp.sum((pvz - oz) ** 2)) / denom
 
             args = (vp, vs, rho)[:n_fields]
             loss, gs = jax.value_and_grad(
@@ -1071,7 +1097,13 @@ class ElasticDIPEngine(EngineBase):
                               smooth=cfg.grad_taper_smooth)
                 if cfg.grad_smooth > 0:
                     g = smooth_spatial(g, cfg.grad_smooth)
-                cols.append(rescale_to_model(g, m[..., k]))
+                if cfg.grad_depth_power > 0:
+                    g = depth_weighting(g, cfg.grad_depth_power)
+                if cfg.grad_rescale == "max":
+                    g = rescale_to_model(g, m[..., k])
+                else:
+                    g = g * cfg.grad_scale
+                cols.append(g)
             return loss, (jnp.stack(cols, -1), pd)
 
         def bwd(res, g):
