@@ -179,34 +179,43 @@ register_workload("marmousi_acoustic", ExperimentConfig(
     nz=151, nx=200, dx=10.0, nt=4001, dt=0.001, freq=8.0,
     num_shots=18, num_receivers=200,
     lr=0.01, lstart=0, misfit="l1",
+    # reference budget (trainVelAuto2ModelPhy.sh / trainVelUnet2ModelPhy.sh:
+    # --n_epochs 2000 --n_epochs_decay 2000); keeps the linear lr policy
+    # from hitting zero at the 100+100 dataclass default
+    n_epochs=2000, n_epochs_decay=2000,
 ))
 register_workload("marmousi_acoustic_unet", ExperimentConfig(
     engine="acoustic_dip", netG="Unet22",
     nz=151, nx=200, dx=10.0, nt=4001, dt=0.001, freq=8.0,
     num_shots=18, num_receivers=200, lr=0.01,
+    n_epochs=2000, n_epochs_decay=2000,
 ))
 register_workload("marmousi_acoustic_vae", ExperimentConfig(
     engine="acoustic_dip", netG="Vae2", kl_weight=1e-4,
     nz=151, nx=200, dx=10.0, nt=4001, dt=0.001, freq=8.0,
     num_shots=18, num_receivers=200, lr=0.01,
+    n_epochs=2000, n_epochs_decay=2000,
 ))
 # normalizing-flow decoder head (AutoNF, networks.py:13316-13624)
 register_workload("marmousi_acoustic_nf", ExperimentConfig(
     engine="acoustic_dip", netG="AutoNF", flow_weight=1e-4,
     nz=151, nx=200, dx=10.0, nt=4001, dt=0.001, freq=8.0,
     num_shots=18, num_receivers=200, lr=0.01,
+    n_epochs=2000, n_epochs_decay=2000,
 ))
 # planar-flow VAE (VaeNormalizingPhy, networks.py:16190)
 register_workload("marmousi_acoustic_vaeflow", ExperimentConfig(
     engine="acoustic_dip", netG="VaeNormalizingPhy", kl_weight=1e-4,
     nz=151, nx=200, dx=10.0, nt=4001, dt=0.001, freq=8.0,
     num_shots=18, num_receivers=200, lr=0.01,
+    n_epochs=2000, n_epochs_decay=2000,
 ))
 # source wavelet taken from the data (AutoWav, networks.py:13120-13180)
 register_workload("marmousi_acoustic_wav", ExperimentConfig(
     engine="acoustic_dip", netG="AutoWav", wavelet_from_data=True,
     nz=151, nx=200, dx=10.0, nt=4001, dt=0.001, freq=8.0,
     num_shots=30, num_receivers=200, lr=0.01,
+    n_epochs=2000, n_epochs_decay=2000,
 ))
 # BASELINE config 1: Auto2's impedance-synthetic L1 training
 # (Auto2_model.py:240-342 — reflectivity + wavelet convolution)
@@ -230,8 +239,29 @@ _EL = ExperimentConfig(
     # the low-frequency model before physics starts (the reference
     # resumed elastic runs from pretrained checkpoints,
     # trainVelAutoElMar22ModelPhy.sh --continue_train --epoch 1500)
-    lr=0.001, anchor_weight=0.0, lstart=30, misfit="l2",
-    freq_stages=(10.0, 15.0, 20.0),
+    lr=0.001, anchor_weight=0.0, lstart=30,
+    # reference epoch budget: --n_epochs 4000 --n_epochs_decay 2000
+    # (trainVelAutoElMar22ModelPhy.sh) — without this the default
+    # 100+100 linear policy silently freezes the run at epoch 200
+    n_epochs=4000, n_epochs_decay=2000,
+    # Inversion recipe (measured, round 3): the reference's literal
+    # conditioning (misfit="l2", grad_rescale="max" = DENISE r1..r3
+    # per-iteration max-rescale, 10 Hz start) does NOT invert this
+    # workload here — the landscape is benign (monotone misfit from
+    # start to truth) but constant-pressure rescaled updates plus
+    # Adam's per-coordinate normalization amplify null-space drift
+    # until the model is worse than its low-frequency start.  The
+    # recipe below — trace-normalized L1, fixed gradient scale so the
+    # update decays with the residual, depth^2 weighting (the acoustic
+    # engine's own convention, networks.py:5329-5332), taper through
+    # the receiver row, continuation from 4 Hz with an
+    # improvement-based plateau detector — beats the starting model
+    # (7,951 -> <5,400 model MSE) with every stage advancing.
+    misfit="tnl1", grad_rescale="none", grad_scale=1e6,
+    grad_depth_power=2.0, grad_taper_rows=27,
+    freq_stages=(4.0, 6.0, 8.0, 10.0, 15.0, 20.0),
+    plateau_mode="improve", plateau_eps=0.005, plateau_history=15,
+    stage_max_epochs=150,
 )
 register_workload("marmousi_elastic", _EL)
 register_workload("marmousi_elastic_lbfgs",

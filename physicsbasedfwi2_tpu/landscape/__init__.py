@@ -15,6 +15,7 @@ from physicsbasedfwi2_tpu.landscape.hessian import (
     hvp, lanczos_extreme_eigs,
 )
 from physicsbasedfwi2_tpu.landscape.projection import trajectory_pca
+from physicsbasedfwi2_tpu.landscape.vtp import surface_to_vtp
 
 __all__ = [
     "filter_normalized_direction",
@@ -24,4 +25,5 @@ __all__ = [
     "hvp",
     "lanczos_extreme_eigs",
     "trajectory_pca",
+    "surface_to_vtp",
 ]

@@ -34,6 +34,13 @@ def main(argv=None):
     p.add_argument("--norm", default="filter", choices=["filter", "layer"])
     p.add_argument("--hessian", action="store_true",
                    help="also estimate extreme Hessian eigenvalues")
+    p.add_argument("--vtp", action="store_true",
+                   help="also export a ParaView .vtp surface "
+                        "(reference h52vtp.py)")
+    p.add_argument("--vtp-log", action="store_true",
+                   help="log-transform the .vtp z values")
+    p.add_argument("--vtp-zmax", type=float, default=-1.0,
+                   help="clip .vtp z values above this")
     p.add_argument("--out", default="./results/landscape")
     p.add_argument("--save-dir", default="./checkpoints")
     p.add_argument("--small", action="store_true")
@@ -104,6 +111,11 @@ def main(argv=None):
     os.makedirs(args.out, exist_ok=True)
     np.savez(os.path.join(args.out, f"{args.name}_surface.npz"),
              losses=surf, xs=xs, ys=ys)
+    if args.vtp:
+        from physicsbasedfwi2_tpu.landscape.vtp import surface_to_vtp
+        surface_to_vtp(
+            os.path.join(args.out, f"{args.name}_surface.vtp"),
+            surf, xs, ys, log=args.vtp_log, zmax=args.vtp_zmax)
     try:
         import matplotlib
         matplotlib.use("Agg")

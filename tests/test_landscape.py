@@ -99,8 +99,53 @@ def test_landscape_cli_acoustic_and_elastic(tmp_path):
         buf = io.StringIO()
         with redirect_stdout(buf):
             main(["--workload", wl, "--small", "--name", f"t_{wl}",
-                  "--x=-0.3:0.3:3", "--y=-0.3:0.3:3",
+                  "--x=-0.3:0.3:3", "--y=-0.3:0.3:3", "--vtp",
                   "--out", str(tmp_path)])
         out = json.loads(buf.getvalue().strip().splitlines()[-1])
         assert np.isfinite(out["min"]) and out["max"] >= out["min"]
         assert os.path.exists(tmp_path / f"t_{wl}_surface.npz")
+        assert os.path.exists(tmp_path / f"t_{wl}_surface.vtp")
+
+
+def test_vtp_export_geometry(tmp_path):
+    """surface_to_vtp writes a valid VTK-XML PolyData quad mesh with
+    the reference exporter's structure (h52vtp.py:30-259): ny*nx
+    points at (x, y, z), (ny-1)*(nx-1) quads, point + cell scalars,
+    log/zmax transforms."""
+    import xml.etree.ElementTree as ET
+    from physicsbasedfwi2_tpu.landscape import surface_to_vtp
+
+    xs = np.linspace(-1, 1, 4)
+    ys = np.linspace(-2, 2, 3)
+    losses = np.arange(12, dtype=np.float64).reshape(3, 4) + 1.0
+    path = surface_to_vtp(str(tmp_path / "s.vtp"), losses, xs, ys,
+                          log=True, zmax=10.0)
+
+    root = ET.parse(path).getroot()
+    piece = root.find("PolyData/Piece")
+    assert int(piece.get("NumberOfPoints")) == 12
+    assert int(piece.get("NumberOfPolys")) == 6
+    pts = np.fromstring(
+        piece.find("Points/DataArray").text.replace("\n", " "),
+        sep=" ").reshape(12, 3)
+    # z = log(min(loss, 10) + 0.1), row-major over (ys, xs)
+    want_z = np.log(np.minimum(losses, 10.0) + 0.1).ravel()
+    np.testing.assert_allclose(pts[:, 2], want_z, rtol=1e-6)
+    np.testing.assert_allclose(pts[:4, 0], xs, rtol=1e-6)
+    conn = np.fromstring(
+        piece.find("Polys/DataArray[@Name='connectivity']")
+        .text.replace("\n", " "), sep=" ").astype(int).reshape(6, 4)
+    assert conn.min() == 0 and conn.max() == 11
+    # every quad's corners are two horizontally-adjacent point pairs
+    # one grid row apart
+    assert (conn[:, 1] - conn[:, 0] == 1).all()
+    assert (conn[:, 3] - conn[:, 0] == 4).all()
+    zvals = np.fromstring(
+        piece.find("PointData/DataArray").text.replace("\n", " "),
+        sep=" ")
+    np.testing.assert_allclose(zvals, want_z, rtol=1e-6)
+    cell = np.fromstring(
+        piece.find("CellData/DataArray").text.replace("\n", " "),
+        sep=" ")
+    np.testing.assert_allclose(cell, want_z[conn].mean(axis=1),
+                               rtol=1e-6)
