@@ -793,12 +793,20 @@ class ElasticDIPEngine(EngineBase):
         # - otherwise: 5-field sponge XLA scheme (elastic_fast)
         import numpy as _np
         rcv_z_np = _np.asarray(self.wl.geom[2])
+        rcv_x_np = _np.asarray(self.wl.geom[3])
         single_row = bool((rcv_z_np == rcv_z_np[:, :1]).all())
+        # the fused tnl1 misfit identifies traces with receiver-row
+        # columns, so they must be distinct within each shot
+        distinct_cols = all(
+            len(set(row.tolist())) == len(row) for row in rcv_x_np)
         self._interp = bool(cfg.extras.get("fused_interpret", False))
-        # the fused elastic kernel computes the raw-L2 misfit; the
-        # trace-normalized variants run on the fast XLA scheme
+        # the fused elastic kernel computes the raw-L2 and the
+        # trace-normalized-L1 misfits; tnl2 runs on the fast XLA scheme
         self._use_fused = (cfg.backend in ("auto", "pallas")
-                           and single_row and cfg.misfit == "l2"
+                           and single_row
+                           and (cfg.misfit == "l2"
+                                or (cfg.misfit == "tnl1"
+                                    and distinct_cols))
                            and (jax.devices()[0].platform == "tpu"
                                 or self._interp))
         self._use_fast = cfg.backend in ("auto", "fast", "pallas")
@@ -811,7 +819,10 @@ class ElasticDIPEngine(EngineBase):
                     (cfg.backend not in ("auto", "pallas"),
                      f"backend={cfg.backend}"),
                     (not single_row, "multi-row receivers"),
-                    (cfg.misfit != "l2", f"misfit={cfg.misfit}"),
+                    (cfg.misfit not in ("l2", "tnl1"),
+                     f"misfit={cfg.misfit}"),
+                    (cfg.misfit == "tnl1" and not distinct_cols,
+                     "duplicate receiver columns"),
                     (jax.devices()[0].platform != "tpu"
                      and not self._interp, "not on TPU"),
                 ) if cond))
@@ -905,9 +916,15 @@ class ElasticDIPEngine(EngineBase):
             if self._use_fused:
                 from physicsbasedfwi2_tpu.ops.pallas_elastic_fused import (
                     scatter_rows_el)
-                pd["orx"] = scatter_rows_el(ovx, self.wl.geom[3],
+                sx_, sz_ = ovx, ovz
+                if self.cfg.misfit == "tnl1":
+                    # the fused tnl1 kernel consumes pre-normalized
+                    # observed rows (it normalizes only the predicted
+                    # side in-kernel)
+                    sx_, sz_ = trace_normalize(sx_), trace_normalize(sz_)
+                pd["orx"] = scatter_rows_el(sx_, self.wl.geom[3],
                                             self.wl.cfg, KC=8)
-                pd["orz"] = scatter_rows_el(ovz, self.wl.geom[3],
+                pd["orz"] = scatter_rows_el(sz_, self.wl.geom[3],
                                             self.wl.cfg, KC=8)
             self._stage_cache[key] = pd
         return self._stage_cache[key]
@@ -964,7 +981,7 @@ class ElasticDIPEngine(EngineBase):
         loss, grads = fused_elastic_loss_grad(
             vp, vs, rho, wav, sz, sx, rz, rx, wl.cfg,
             pd["orx"][shot_idx], pd["orz"][shot_idx], KC=8, wrt=names,
-            interpret=self._interp)
+            misfit=self.cfg.misfit, interpret=self._interp)
         return loss, jnp.stack([grads[k] for k in names], -1)
 
     def _sharded_value_and_grad(self, m, shot_idx, pd):
@@ -1007,7 +1024,8 @@ class ElasticDIPEngine(EngineBase):
                 # and its gradient exactly
                 loss, grads = fused_elastic_loss_grad(
                     vp, vs, rho, wavb, szb, sxb, rzb, rxb, wl.cfg,
-                    oxb, ozb, KC=8, wrt=names, interpret=self._interp)
+                    oxb, ozb, KC=8, wrt=names,
+                    misfit=self.cfg.misfit, interpret=self._interp)
                 return (lax.pmean(loss, "shot"),
                         *(lax.pmean(grads[k], "shot") for k in names))
 

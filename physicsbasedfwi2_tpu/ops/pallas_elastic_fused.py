@@ -62,6 +62,24 @@ from physicsbasedfwi2_tpu.ops.pallas_kernels import (
 RING = 2  # zero ring width for circular rolls
 
 
+@jax.custom_vjp
+def _abs0(x):
+    """|x| with the sign(0)=0 subgradient (torch L1Loss convention;
+    lax.abs uses +1 at x == 0)."""
+    return jnp.abs(x)
+
+
+def _abs0_fwd(x):
+    return jnp.abs(x), jnp.sign(x)
+
+
+def _abs0_bwd(s, g):
+    return (g * s,)
+
+
+_abs0.defvjp(_abs0_fwd, _abs0_bwd)
+
+
 def prep_medium(vp, vs, rho, cfg: ElasticConfig):
     """(vp, vs, rho) -> kernel-layout (lam, l2m, muxz, bx, bz), each
     [nz8, nx128].  Pure JAX — differentiate with jax.vjp to pull
@@ -133,14 +151,25 @@ def scatter_rows_el(data, rcv_x, cfg: ElasticConfig, *, KC: int):
 
 def _kernel(src_z, src_x, rcv_row, wav_sm, rcv_x_sm,
             lam_r, l2m_r, muxz_r, bx_r, bz_r, damp_r, ox_hbm, oz_hbm,
-            loss_out, glam_out, gl2m_out, gmuxz_out, gbx_out, gbz_out,
-            ckpt_hbm,
-            vx, vz, sxx, szz, sxz,
-            Vx, Vz, Sxx, Szz, Sxz,
-            c_t1, c_t2, c_a, c_b, c_c, rows_x, rows_z, obx, obz, sem,
-            *, nt: int, n_ck: int, KC: int, nzp: int, nxp: int,
+            *refs,
+            nt: int, n_ck: int, KC: int, nzp: int, nxp: int,
             dtx: float, dt_invdx2: float, fs_row: int,
-            inv_count: float, nr: int):
+            inv_count: float, nr: int, misfit: str = "l2"):
+    if misfit == "tnl1":
+        (loss_out, glam_out, gl2m_out, gmuxz_out, gbx_out, gbz_out,
+         ckpt_hbm, prx_hbm, prz_hbm,
+         vx, vz, sxx, szz, sxz,
+         Vx, Vz, Sxx, Szz, Sxz,
+         c_t1, c_t2, c_a, c_b, c_c, rows_x, rows_z, obx, obz,
+         sem) = refs
+    else:
+        (loss_out, glam_out, gl2m_out, gmuxz_out, gbx_out, gbz_out,
+         ckpt_hbm,
+         vx, vz, sxx, szz, sxz,
+         Vx, Vz, Sxx, Szz, Sxz,
+         c_t1, c_t2, c_a, c_b, c_c, rows_x, rows_z, obx, obz,
+         sem) = refs
+        prx_hbm = prz_hbm = None
     shot = pl.program_id(0)
     sz_i = src_z[shot]
     sx_i = src_x[shot]
@@ -198,7 +227,7 @@ def _kernel(src_z, src_x, rcv_row, wav_sm, rcv_x_sm,
         sxz[:] = damp * (sxz[:] + dtx * muxz * cc)
         return t1, t2, a, b, cc
 
-    # ---- phase 1: forward + checkpoints + loss ----
+    # ---- phase 1: forward + checkpoints (+ inline L2 loss) ----
     def fwd_chunk(c, loss_acc):
         t0 = c * KC
         for f_i, r_ in enumerate((vx, vz, sxx, szz, sxz)):
@@ -206,15 +235,27 @@ def _kernel(src_z, src_x, rcv_row, wav_sm, rcv_x_sm,
                                        sem)
             cp.start()
             cp.wait()
-        for hbm, buf in ((ox_hbm, obx), (oz_hbm, obz)):
-            cp = pltpu.make_async_copy(hbm.at[shot, pl.ds(t0, KC), :],
-                                       buf, sem)
-            cp.start()
-            cp.wait()
+        if misfit == "tnl1":
+            rows_x[:] = jnp.zeros_like(rows_x)
+            rows_z[:] = jnp.zeros_like(rows_z)
+        else:
+            for hbm, buf in ((ox_hbm, obx), (oz_hbm, obz)):
+                cp = pltpu.make_async_copy(
+                    hbm.at[shot, pl.ds(t0, KC), :], buf, sem)
+                cp.start()
+                cp.wait()
 
         def step(kk, acc):
             t = t0 + kk
             fwd_update(t)
+            if misfit == "tnl1":
+                # save the receiver rows; the misfit phase consumes
+                # the whole history (per-trace max is global in time)
+                @pl.when(t < nt)
+                def _():
+                    rows_x[pl.ds(kk, 1), :] = vx[pl.ds(rrow, 1), :]
+                    rows_z[pl.ds(kk, 1), :] = vz[pl.ds(rrow, 1), :]
+                return acc
             rx_ = vx[pl.ds(rrow, 1), :]
             rz_ = vz[pl.ds(rrow, 1), :]
             dx_ = (rx_ - obx[pl.ds(kk, 1), :]) * rmask
@@ -222,10 +263,99 @@ def _kernel(src_z, src_x, rcv_row, wav_sm, rcv_x_sm,
             inc = jnp.sum(dx_ * dx_) + jnp.sum(dz_ * dz_)
             return acc + jnp.where(t < nt, inc, 0.0)
 
-        return jax.lax.fori_loop(0, KC, step, loss_acc)
+        acc = jax.lax.fori_loop(0, KC, step, loss_acc)
+        if misfit == "tnl1":
+            for buf, hbm in ((rows_x, prx_hbm), (rows_z, prz_hbm)):
+                cp = pltpu.make_async_copy(buf, hbm.at[shot, c], sem)
+                cp.start()
+                cp.wait()
+        return acc
 
     loss_raw = jax.lax.fori_loop(0, n_ck, fwd_chunk, 0.0)
-    loss_out[:] = loss_out[:] + (loss_raw * inv_count) * onehot00
+    if misfit != "tnl1":
+        loss_out[:] = loss_out[:] + (loss_raw * inv_count) * onehot00
+
+    # ---- phase 1.5 (tnl1): per-trace-max-normalized L1 misfit +
+    # cotangent rows, the acoustic kernel's 4-sweep scheme
+    # (pallas_fwi_fused.py:126-180) applied per component; the
+    # cotangent overwrites the predicted-row history in HBM ----
+    if misfit == "tnl1":
+        def _tn_misfit(pr_hbm, o_hbm, pbuf, obuf):
+            def max_sweep(c, m):
+                cp = pltpu.make_async_copy(pr_hbm.at[shot, c], pbuf,
+                                           sem)
+                cp.start()
+                cp.wait()
+                return jnp.maximum(m, jnp.max(jnp.abs(pbuf[:]), axis=0,
+                                              keepdims=True))
+
+            m = jax.lax.fori_loop(0, n_ck, max_sweep,
+                                  jnp.zeros((1, nxp), jnp.float32))
+            inv_m = 1.0 / (m + 1e-10)
+
+            def tie_sweep(c, cnt):
+                cp = pltpu.make_async_copy(pr_hbm.at[shot, c], pbuf,
+                                           sem)
+                cp.start()
+                cp.wait()
+                eq = (jnp.abs(pbuf[:]) == m).astype(jnp.float32)
+                return cnt + jnp.sum(eq, axis=0, keepdims=True)
+
+            cnt = jax.lax.fori_loop(0, n_ck, tie_sweep,
+                                    jnp.zeros((1, nxp), jnp.float32))
+            inv_cnt = 1.0 / jnp.maximum(cnt, 1.0)
+
+            def loss_sweep(c, carry):
+                loss_acc, S = carry
+                cp = pltpu.make_async_copy(pr_hbm.at[shot, c], pbuf,
+                                           sem)
+                cp.start()
+                cp.wait()
+                ob = pltpu.make_async_copy(
+                    o_hbm.at[shot, pl.ds(c * KC, KC), :], obuf, sem)
+                ob.start()
+                ob.wait()
+                # divide (not multiply by the reciprocal): the sign of
+                # r at near-tie samples (argmax where yn ~ obs = +-1)
+                # must match trace_normalize's f32 division bit-exactly
+                yn = pbuf[:] / (m + 1e-10)
+                r = (yn - obuf[:]) * rmask
+                g = jnp.sign(r) * inv_count
+                return (loss_acc + jnp.sum(jnp.abs(r)),
+                        S + jnp.sum(g * yn, axis=0, keepdims=True))
+
+            loss_c, S = jax.lax.fori_loop(
+                0, n_ck, loss_sweep,
+                (0.0, jnp.zeros((1, nxp), jnp.float32)))
+            corr = inv_cnt * S * inv_m
+
+            def ybar_sweep(c, _):
+                cp = pltpu.make_async_copy(pr_hbm.at[shot, c], pbuf,
+                                           sem)
+                cp.start()
+                cp.wait()
+                ob = pltpu.make_async_copy(
+                    o_hbm.at[shot, pl.ds(c * KC, KC), :], obuf, sem)
+                ob.start()
+                ob.wait()
+                yk = pbuf[:]
+                yn = yk / (m + 1e-10)
+                g = jnp.sign((yn - obuf[:]) * rmask) * inv_count
+                star = (jnp.abs(yk) == m).astype(jnp.float32)
+                pbuf[:] = g * inv_m - star * jnp.sign(yk) * corr
+                cp = pltpu.make_async_copy(pbuf, pr_hbm.at[shot, c],
+                                           sem)
+                cp.start()
+                cp.wait()
+                return 0
+
+            jax.lax.fori_loop(0, n_ck, ybar_sweep, 0)
+            return loss_c
+
+        loss_x = _tn_misfit(prx_hbm, ox_hbm, rows_x, obx)
+        loss_z = _tn_misfit(prz_hbm, oz_hbm, rows_z, obz)
+        loss_out[:] = (loss_out[:]
+                       + ((loss_x + loss_z) * inv_count) * onehot00)
 
     # ---- phase 2: reverse sweep ----
     for r_ in (Vx, Vz, Sxx, Szz, Sxz):
@@ -239,11 +369,18 @@ def _kernel(src_z, src_x, rcv_row, wav_sm, rcv_x_sm,
                                        sem)
             cp.start()
             cp.wait()
-        for hbm, buf in ((ox_hbm, obx), (oz_hbm, obz)):
-            cp = pltpu.make_async_copy(hbm.at[shot, pl.ds(t0, KC), :],
-                                       buf, sem)
-            cp.start()
-            cp.wait()
+        if misfit == "tnl1":
+            # the history now holds the precomputed cotangent rows
+            for hbm, buf in ((prx_hbm, rows_x), (prz_hbm, rows_z)):
+                cp = pltpu.make_async_copy(hbm.at[shot, c], buf, sem)
+                cp.start()
+                cp.wait()
+        else:
+            for hbm, buf in ((ox_hbm, obx), (oz_hbm, obz)):
+                cp = pltpu.make_async_copy(
+                    hbm.at[shot, pl.ds(t0, KC), :], buf, sem)
+                cp.start()
+                cp.wait()
 
         def rec(kk, _):
             t = t0 + kk
@@ -253,8 +390,9 @@ def _kernel(src_z, src_x, rcv_row, wav_sm, rcv_x_sm,
             c_a[pl.ds(kk, 1), :, :] = a[None]
             c_b[pl.ds(kk, 1), :, :] = b[None]
             c_c[pl.ds(kk, 1), :, :] = cc[None]
-            rows_x[pl.ds(kk, 1), :] = vx[pl.ds(rrow, 1), :]
-            rows_z[pl.ds(kk, 1), :] = vz[pl.ds(rrow, 1), :]
+            if misfit != "tnl1":
+                rows_x[pl.ds(kk, 1), :] = vx[pl.ds(rrow, 1), :]
+                rows_z[pl.ds(kk, 1), :] = vz[pl.ds(rrow, 1), :]
             return 0
 
         jax.lax.fori_loop(0, KC, rec, 0)
@@ -265,12 +403,16 @@ def _kernel(src_z, src_x, rcv_row, wav_sm, rcv_x_sm,
             amp = wav_sm[shot, t]
             live = (t < nt).astype(jnp.float32)
             # misfit cotangent on the receiver rows
-            gx = (2.0 * inv_count * live
-                  * (rows_x[pl.ds(kk, 1), :] - obx[pl.ds(kk, 1), :])
-                  * rmask)
-            gz = (2.0 * inv_count * live
-                  * (rows_z[pl.ds(kk, 1), :] - obz[pl.ds(kk, 1), :])
-                  * rmask)
+            if misfit == "tnl1":
+                gx = rows_x[pl.ds(kk, 1), :]
+                gz = rows_z[pl.ds(kk, 1), :]
+            else:
+                gx = (2.0 * inv_count * live
+                      * (rows_x[pl.ds(kk, 1), :] - obx[pl.ds(kk, 1), :])
+                      * rmask)
+                gz = (2.0 * inv_count * live
+                      * (rows_z[pl.ds(kk, 1), :] - obz[pl.ds(kk, 1), :])
+                      * rmask)
             Vx[pl.ds(rrow, 1), :] = Vx[pl.ds(rrow, 1), :] + gx
             Vz[pl.ds(rrow, 1), :] = Vz[pl.ds(rrow, 1), :] + gz
 
@@ -337,11 +479,22 @@ def _kernel(src_z, src_x, rcv_row, wav_sm, rcv_x_sm,
 def fused_elastic_loss_grad_meds(meds, damp, wavelet, src_z, src_x,
                                  rcv_z, rcv_x, cfg: ElasticConfig,
                                  obs_rows_x, obs_rows_z, *, KC: int = 8,
+                                 misfit: str = "l2",
                                  interpret: bool = False):
     """(loss, grads w.r.t. the 5 medium fields) via the fused kernel.
 
     meds: output of :func:`prep_medium`.
     obs_rows_*: :func:`scatter_rows_el` layouts of the observed data.
+    misfit: "l2" — DENISE's raw MSE, cotangent computed inline in the
+        reverse sweep; "tnl1" — the reference's trace-normalized L1
+        (networks.py:5418-5476 conditioning applied to the elastic
+        components): obs_rows_* must be scattered from PRE-normalized
+        traces, the forward saves the receiver-row history to HBM,
+        and a 4-sweep misfit phase (per-trace max; tie counts;
+        loss+S; cotangent write — the exact jnp.max subgradient, as
+        pallas_fwi_fused) runs per component before the reverse
+        sweep.  Receiver columns must be distinct per shot (the
+        row-scatter is the trace identity).
     """
     g = cfg.grid
     top, w, nzp, nxp, nz8, nx128 = _layout(cfg)
@@ -363,20 +516,32 @@ def fused_elastic_loss_grad_meds(meds, damp, wavelet, src_z, src_x,
     kern = functools.partial(
         _kernel, nt=g.nt, n_ck=n_ck, KC=KC, nzp=nzp, nxp=nx128,
         dtx=g.dt / g.dx, dt_invdx2=g.dt / (g.dx * g.dx), fs_row=fs_row,
-        inv_count=inv_count, nr=nr)
+        inv_count=inv_count, nr=nr, misfit=misfit)
     spec = pl.BlockSpec((nz8, nx128), lambda i, *_: (0, 0),
                         memory_space=pltpu.VMEM)
     fld = lambda: pltpu.VMEM((nz8, nx128), jnp.float32)  # noqa: E731
+    out_specs = [
+        pl.BlockSpec((8, 128), lambda i, *_: (0, 0),
+                     memory_space=pltpu.VMEM),          # loss
+        spec, spec, spec, spec, spec,                   # 5 grads
+        pl.BlockSpec(memory_space=pl.ANY),           # ckpt
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct((8, 128), jnp.float32),
+        *(jax.ShapeDtypeStruct((nz8, nx128), jnp.float32)
+          for _ in range(5)),
+        jax.ShapeDtypeStruct((ns, n_ck, 5, nz8, nx128), jnp.float32),
+    ]
+    if misfit == "tnl1":
+        # predicted-row histories (overwritten with cotangent rows)
+        out_specs += [pl.BlockSpec(memory_space=pl.ANY)] * 2
+        out_shape += [jax.ShapeDtypeStruct((ns, n_ck, KC, nx128),
+                                           jnp.float32)] * 2
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=5,
         grid=(ns,),
         in_specs=[spec] * 6 + [pl.BlockSpec(memory_space=pl.ANY)] * 2,
-        out_specs=(
-            pl.BlockSpec((8, 128), lambda i, *_: (0, 0),
-                         memory_space=pltpu.VMEM),          # loss
-            spec, spec, spec, spec, spec,                   # 5 grads
-            pl.BlockSpec(memory_space=pl.ANY),           # ckpt
-        ),
+        out_specs=tuple(out_specs),
         scratch_shapes=[fld() for _ in range(10)] + [
             pltpu.VMEM((KC, nz8, nx128), jnp.float32),  # c_t1
             pltpu.VMEM((KC, nz8, nx128), jnp.float32),  # c_t2
@@ -392,12 +557,7 @@ def fused_elastic_loss_grad_meds(meds, damp, wavelet, src_z, src_x,
     )
     out = pl.pallas_call(
         kern, grid_spec=grid_spec,
-        out_shape=(
-            jax.ShapeDtypeStruct((8, 128), jnp.float32),
-            *(jax.ShapeDtypeStruct((nz8, nx128), jnp.float32)
-              for _ in range(5)),
-            jax.ShapeDtypeStruct((ns, n_ck, 5, nz8, nx128), jnp.float32),
-        ),
+        out_shape=tuple(out_shape),
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
         interpret=interpret,
     )(src_z_p, src_x_p, rcv_row, wav, rcv_cols,
@@ -409,16 +569,20 @@ def fused_elastic_loss_grad_meds(meds, damp, wavelet, src_z, src_x,
 def fused_elastic_loss_grad(vp, vs, rho, wavelet, src_z, src_x, rcv_z,
                             rcv_x, cfg: ElasticConfig, obs_rows_x,
                             obs_rows_z, *, KC: int = 8,
+                            misfit: str = "l2",
                             wrt=("vp", "vs"), interpret: bool = False):
     """(loss, grads dict over ``wrt``) — the drop-in DENISE gradient
     call.  Physical-field gradients come from jax.vjp of
-    :func:`prep_medium` applied to the kernel's medium gradients."""
+    :func:`prep_medium` applied to the kernel's medium gradients.
+    For misfit="tnl1" pass obs rows scattered from trace-normalized
+    data (see :func:`fused_elastic_loss_grad_meds`)."""
     damp = prep_damp(cfg)
     meds, vjp_fn = jax.vjp(
         lambda a, b, c: prep_medium(a, b, c, cfg), vp, vs, rho)
     loss, gmeds = fused_elastic_loss_grad_meds(
         meds, damp, wavelet, src_z, src_x, rcv_z, rcv_x, cfg,
-        obs_rows_x, obs_rows_z, KC=KC, interpret=interpret)
+        obs_rows_x, obs_rows_z, KC=KC, misfit=misfit,
+        interpret=interpret)
     gvp, gvs, grho = vjp_fn(gmeds)
     grads = {"vp": gvp, "vs": gvs, "rho": grho}
     return loss, {k: grads[k] for k in wrt}
@@ -525,26 +689,46 @@ def simulate_elastic_ring(vp, vs, rho, wavelet, src_z, src_x, rcv_z,
 
 
 def elastic_fused_reference(meds, damp, wavelet, src_z, src_x, rcv_z,
-                            rcv_x, cfg: ElasticConfig, obs_vx, obs_vz):
+                            rcv_x, cfg: ElasticConfig, obs_vx, obs_vz,
+                            misfit: str = "l2"):
     """The kernel's loss as differentiable JAX — jax.grad of this
     w.r.t. ``meds`` is the kernel's gradient oracle.  obs_* are plain
-    [ns, nt, nr] traces."""
+    [ns, nt, nr] traces; for misfit="tnl1" they must be PRE-normalized
+    per trace (as the kernel's obs rows are)."""
     g = cfg.grid
 
-    def per_step(vx, vz, rrow, cols, aux_t):
-        ox_t, oz_t = aux_t
-        dx_ = vx[rrow, cols] - ox_t
-        dz_ = vz[rrow, cols] - oz_t
-        return jnp.sum(dx_ * dx_) + jnp.sum(dz_ * dz_)
+    if misfit == "tnl1":
+        def per_step(vx, vz, rrow, cols, aux_t):
+            return vx[rrow, cols], vz[rrow, cols]
+    else:
+        def per_step(vx, vz, rrow, cols, aux_t):
+            ox_t, oz_t = aux_t
+            dx_ = vx[rrow, cols] - ox_t
+            dz_ = vz[rrow, cols] - oz_t
+            return jnp.sum(dx_ * dx_) + jnp.sum(dz_ * dz_)
 
     one_shot = _ring_scan(meds, damp, cfg, wavelet, src_z, src_x,
                           rcv_z, rcv_x, per_step)
     ns = src_z.shape[0]
     if wavelet.ndim == 1:
         wavelet = jnp.broadcast_to(wavelet[None, :], (ns, g.nt))
-    incs = jax.vmap(one_shot)(
+    outs = jax.vmap(one_shot)(
         wavelet, src_z.astype(jnp.int32), src_x.astype(jnp.int32),
         rcv_z.astype(jnp.int32), rcv_x.astype(jnp.int32),
         (obs_vx, obs_vz))
     nr = obs_vx.shape[2]
-    return jnp.sum(incs) / (ns * g.nt * nr)
+    if misfit == "tnl1":
+        pvx, pvz = outs
+        # per-trace max normalization with the kernel's eps; jnp.max's
+        # tie-distributed subgradient is exactly the kernel's star/cnt.
+        # |.| uses the sign(0)=0 subgradient (_abs0) — the kernel's
+        # (and torch L1Loss's) convention; lax.abs picks +1 at exactly
+        # zero residuals, which injects a spurious 1/eps-scale
+        # cotangent on dead (all-zero) traces
+        pvx = pvx / (jnp.max(_abs0(pvx), axis=1, keepdims=True)
+                     + 1e-10)
+        pvz = pvz / (jnp.max(_abs0(pvz), axis=1, keepdims=True)
+                     + 1e-10)
+        return (jnp.sum(_abs0(pvx - obs_vx))
+                + jnp.sum(_abs0(pvz - obs_vz))) / (ns * g.nt * nr)
+    return jnp.sum(outs) / (ns * g.nt * nr)

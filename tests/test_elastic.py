@@ -228,3 +228,64 @@ def test_fused_elastic_kernel_matches_autodiff_interpret():
         wrt=("vp", "vs", "rho"), interpret=True)
     assert float(loss_s) > 0
     assert float(jnp.abs(grads_s["vp"]).max()) > 0
+
+
+def test_fused_elastic_tnl1_matches_autodiff_interpret():
+    """Fused elastic kernel with the trace-normalized-L1 misfit
+    (the flagship recipe) vs jax.grad of the exact-scheme replica:
+    the 4-sweep per-trace-max subgradient (ported from
+    pallas_fwi_fused) must reproduce jnp.max's tie-distributed
+    autodiff to f32 roundoff, and the misfit must vanish at the true
+    model."""
+    from physicsbasedfwi2_tpu.ops.misfit import trace_normalize
+    from physicsbasedfwi2_tpu.ops.pallas_elastic_fused import (
+        prep_medium, prep_damp, scatter_rows_el,
+        fused_elastic_loss_grad_meds, fused_elastic_loss_grad,
+        elastic_fused_reference, simulate_elastic_ring)
+    from physicsbasedfwi2_tpu.data.synthetic import (
+        make_marmousi_like, make_elastic_model)
+
+    nz, nx, nt = 36, 48, 64
+    grid = Grid2D(nz=nz, nx=nx, dx=15.0, nt=nt, dt=0.0015, pml_width=8,
+                  free_surface=True)
+    cfg = ElasticConfig(grid=grid, chunk=16, vmax_pml=4000.0)
+    vp = make_marmousi_like(nz, nx, seed=0, water_rows=4)
+    vp_t, vs_t, rho_t = make_elastic_model(vp, water_rows=4)
+    wav = ricker(12.0, nt, 0.0015)
+    ns, nr = 2, 10
+    sz = jnp.asarray([5, 5])
+    sx = jnp.asarray([10, 30])
+    rz = jnp.full((ns, nr), 5, jnp.int32)
+    rx = jnp.tile(jnp.asarray(np.linspace(3, nx - 4, nr,
+                                          dtype=np.int32)), (ns, 1))
+    ovx, ovz = simulate_elastic_ring(
+        jnp.asarray(vp_t), jnp.asarray(vs_t), jnp.asarray(rho_t),
+        wav, sz, sx, rz, rx, cfg)
+    # the tnl1 kernel consumes pre-normalized observed data
+    ovx_n, ovz_n = trace_normalize(ovx), trace_normalize(ovz)
+    vp_s = jnp.asarray(vp_t) * 0.95
+    meds, _ = jax.vjp(lambda a, b, c: prep_medium(a, b, c, cfg),
+                      vp_s, jnp.asarray(vs_t), jnp.asarray(rho_t))
+    damp = prep_damp(cfg)
+    ref_loss, ref_g = jax.value_and_grad(
+        lambda m: elastic_fused_reference(m, damp, wav, sz, sx, rz, rx,
+                                          cfg, ovx_n, ovz_n,
+                                          misfit="tnl1"))(meds)
+    KC = 16
+    orx = scatter_rows_el(ovx_n, rx, cfg, KC=KC)
+    orz = scatter_rows_el(ovz_n, rx, cfg, KC=KC)
+    loss, gm = fused_elastic_loss_grad_meds(
+        meds, damp, wav, sz, sx, rz, rx, cfg, orx, orz, KC=KC,
+        misfit="tnl1", interpret=True)
+    assert abs(float(ref_loss) - float(loss)) <= 1e-6 * abs(
+        float(ref_loss))
+    for a, b in zip(ref_g, gm):
+        na = float(jnp.max(jnp.abs(a)))
+        assert float(jnp.max(jnp.abs(a - b))) <= 1e-5 * (na + 1e-30)
+    # near-zero misfit at the truth (both sides normalized the same
+    # way; only f32 roundoff survives)
+    loss_t, _ = fused_elastic_loss_grad(
+        jnp.asarray(vp_t), jnp.asarray(vs_t), jnp.asarray(rho_t),
+        wav, sz, sx, rz, rx, cfg, orx, orz, KC=KC, misfit="tnl1",
+        wrt=("vp", "vs", "rho"), interpret=True)
+    assert float(loss_t) < 1e-9
