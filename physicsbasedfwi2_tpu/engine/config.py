@@ -41,6 +41,13 @@ class ExperimentConfig:
     lr: float = 0.01
     beta1: float = 0.5
     optimizer: str = "adam"            # adam | lbfgs | sgld | sghmc
+    adam_eps: float = 1e-8             # raising this suppresses
+                                       # full-size steps on near-zero-
+                                       # gradient coordinates (Adam's
+                                       # per-coordinate normalization
+                                       # otherwise amplifies null-
+                                       # space noise; see the elastic
+                                       # recipe notes below)
     lr_policy: str = "linear"
     n_epochs: int = 100
     n_epochs_decay: int = 100

@@ -52,7 +52,7 @@ def _make_optimizer(cfg: ExperimentConfig):
         # (the reference steps a torch scheduler every epoch,
         # networks.py:79-106 + base_model.py:126-136)
         return optax.inject_hyperparams(optax.adam)(
-            learning_rate=cfg.lr, b1=cfg.beta1)
+            learning_rate=cfg.lr, b1=cfg.beta1, eps=cfg.adam_eps)
     if cfg.optimizer == "lbfgs":
         return lbfgs_wolfe(memory_size=10)
     if cfg.optimizer == "sgld":

@@ -244,3 +244,54 @@ def test_fused_elastic_kernel_tpu_parity():
     for a, b in zip(rg, kg):
         na = float(jnp.max(jnp.abs(a)))
         assert float(jnp.max(jnp.abs(a - b))) <= 1e-4 * (na + 1e-30)
+
+
+def test_fused_elastic_tnl1_tpu_parity():
+    """tnl1 fused elastic kernel compiled on hardware vs interpret
+    mode: the flagship recipe's misfit must be bit-stable across the
+    Mosaic compile (the tnl1 kink makes FD meaningless here — parity
+    against the verified interpret path is the bar, as for the
+    acoustic tnl1 kernel)."""
+    from physicsbasedfwi2_tpu.geo import Grid2D, ricker
+    from physicsbasedfwi2_tpu.ops.elastic import ElasticConfig
+    from physicsbasedfwi2_tpu.ops.misfit import trace_normalize
+    from physicsbasedfwi2_tpu.ops.pallas_elastic_fused import (
+        prep_medium, prep_damp, scatter_rows_el,
+        fused_elastic_loss_grad_meds, simulate_elastic_ring)
+    from physicsbasedfwi2_tpu.data.synthetic import (
+        make_marmousi_like, make_elastic_model)
+
+    nz, nx, nt = 48, 64, 128
+    grid = Grid2D(nz=nz, nx=nx, dx=15.0, nt=nt, dt=0.0015,
+                  pml_width=12, free_surface=True)
+    cfg = ElasticConfig(grid=grid, chunk=16, vmax_pml=4000.0)
+    vp = make_marmousi_like(nz, nx, seed=0, water_rows=5)
+    vp_t, vs_t, rho_t = make_elastic_model(vp, water_rows=5)
+    wav = ricker(12.0, nt, 0.0015)
+    ns, nr = 2, 16
+    sz = jnp.asarray([6, 6])
+    sx = jnp.asarray([12, 40])
+    rz = jnp.full((ns, nr), 6, jnp.int32)
+    rx = jnp.tile(jnp.asarray(np.linspace(3, nx - 4, nr,
+                                          dtype=np.int32)), (ns, 1))
+    ovx, ovz = simulate_elastic_ring(
+        jnp.asarray(vp_t), jnp.asarray(vs_t), jnp.asarray(rho_t),
+        wav, sz, sx, rz, rx, cfg)
+    ovx_n, ovz_n = trace_normalize(ovx), trace_normalize(ovz)
+    vp_s = jnp.asarray(vp_t) * 0.95
+    meds, _ = jax.vjp(lambda a, b, c: prep_medium(a, b, c, cfg),
+                      vp_s, jnp.asarray(vs_t), jnp.asarray(rho_t))
+    damp = prep_damp(cfg)
+    KC = 8
+    orx = scatter_rows_el(ovx_n, rx, cfg, KC=KC)
+    orz = scatter_rows_el(ovz_n, rx, cfg, KC=KC)
+    il, ig = fused_elastic_loss_grad_meds(
+        meds, damp, wav, sz, sx, rz, rx, cfg, orx, orz, KC=KC,
+        misfit="tnl1", interpret=True)
+    kl, kg = fused_elastic_loss_grad_meds(
+        meds, damp, wav, sz, sx, rz, rx, cfg, orx, orz, KC=KC,
+        misfit="tnl1")
+    assert abs(float(il) - float(kl)) <= 1e-5 * abs(float(il))
+    for a, b in zip(ig, kg):
+        na = float(jnp.max(jnp.abs(a)))
+        assert float(jnp.max(jnp.abs(a - b))) <= 1e-4 * (na + 1e-30)
