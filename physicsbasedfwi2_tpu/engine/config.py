@@ -138,6 +138,13 @@ class ExperimentConfig:
                                         # networks.py:10455-10460)
     clip_max: tuple | None = None       # upper bounds (None ->
                                         # 4700, 2700, 3000)
+    clip_mode: str = "hard"             # "hard": jnp.clip (zero
+                                        # gradient outside the bounds
+                                        # — railed cells are stuck);
+                                        # "ste": hard clip forward,
+                                        # straight-through backward so
+                                        # railed cells stay
+                                        # recoverable
     elastic_head: str = "linear"        # "linear": reference-faithful
                                         # unbounded additive delta
                                         # (networks.py:7455-7456 vp1 =

@@ -1147,7 +1147,8 @@ class ElasticDIPEngine(EngineBase):
             m = apply_elastic_output(
                 deltas, pack["lowf"], pack["true_m"],
                 delta_scale=self.delta_scale, clip_min=self.clip_min,
-                clip_max=self.clip_max, pin_rows=cfg.water_rows)
+                clip_max=self.clip_max, pin_rows=cfg.water_rows,
+                clip_mode=cfg.clip_mode)
             anchor = jnp.mean((m - pack["lowf"]) ** 2)
             if not use_physics:
                 # warmup (epoch <= lstart): pure anchor regression to
@@ -1231,7 +1232,7 @@ class ElasticDIPEngine(EngineBase):
                     deltas, pack["lowf"], pack["true_m"],
                     delta_scale=self.delta_scale,
                     clip_min=self.clip_min, clip_max=self.clip_max,
-                    pin_rows=cfg.water_rows)
+                    pin_rows=cfg.water_rows, clip_mode=cfg.clip_mode)
                 return m
 
             self._sample_step = jax.jit(sample_step,
@@ -1269,7 +1270,8 @@ class ElasticDIPEngine(EngineBase):
                         delta_scale=self.delta_scale,
                         clip_min=self.clip_min,
                         clip_max=self.clip_max,
-                        pin_rows=cfg.water_rows)
+                        pin_rows=cfg.water_rows,
+                        clip_mode=cfg.clip_mode)
                     return m[0]
 
                 return jax.vmap(sample)(keys)

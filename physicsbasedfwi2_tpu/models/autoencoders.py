@@ -16,6 +16,7 @@ from __future__ import annotations
 import math
 from collections.abc import Sequence
 
+import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
@@ -181,8 +182,25 @@ def apply_velocity_output(field01, true_model, *, vmin=None, vmax=None,
     return pin_water(v, true_model, water_vel)
 
 
+@jax.custom_vjp
+def _clip_ste(x, lo, hi):
+    return jnp.clip(x, lo, hi)
+
+
+def _clip_ste_fwd(x, lo, hi):
+    return jnp.clip(x, lo, hi), None
+
+
+def _clip_ste_bwd(_, g):
+    return g, None, None
+
+
+_clip_ste.defvjp(_clip_ste_fwd, _clip_ste_bwd)
+
+
 def apply_elastic_output(deltas, lowf, true_model, *, delta_scale,
-                         clip_min, clip_max, pin_rows: int = 0):
+                         clip_min, clip_max, pin_rows: int = 0,
+                         clip_mode: str = "hard"):
     """Elastic output transform (networks.py:7455-7476): per-field
     tanh deltas scaled and added to the low-frequency model, clipped
     to physical bounds, top (water) rows pinned to the true model.
@@ -194,11 +212,18 @@ def apply_elastic_output(deltas, lowf, true_model, *, delta_scale,
         delta_scale: [F] max |delta| per field in SI units.
         clip_min, clip_max: [F] physical bounds per field.
         pin_rows: number of top rows pinned (ref: 26).
+        clip_mode: "hard" zeroes the gradient of out-of-bounds cells
+            (jnp.clip — cells railed at a physical bound can never be
+            pulled back, an absorbing state for a drifting inversion);
+            "ste" keeps the hard clip in the forward pass but
+            backprops straight through it, so the misfit gradient can
+            recover railed cells.
     """
     scale = jnp.asarray(delta_scale)[None, None, None, :]
     m = lowf + deltas * scale
-    m = jnp.clip(m, jnp.asarray(clip_min)[None, None, None, :],
-                 jnp.asarray(clip_max)[None, None, None, :])
+    clip = _clip_ste if clip_mode == "ste" else jnp.clip
+    m = clip(m, jnp.asarray(clip_min)[None, None, None, :],
+             jnp.asarray(clip_max)[None, None, None, :])
     if pin_rows > 0:
         row = jnp.arange(m.shape[1])[None, :, None, None]
         m = jnp.where(row < pin_rows, true_model, m)

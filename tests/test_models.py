@@ -53,6 +53,29 @@ def test_elastic_net_and_output():
     np.testing.assert_allclose(np.asarray(m[0, :5]), np.asarray(true[0, :5]))
 
 
+def test_elastic_output_clip_modes():
+    """clip_mode="ste": the forward value is identical to the hard
+    clip, but a cell railed at a physical bound still receives misfit
+    gradient (the hard clip's zero-gradient makes railing an
+    absorbing state for a drifting inversion)."""
+    lowf = jnp.full((1, 4, 5, 1), 4600.0)
+    true = lowf
+    deltas = jnp.full((1, 4, 5, 1), 500.0)  # rails at clip_max 4700
+
+    def out_mean(d, mode):
+        return jnp.mean(apply_elastic_output(
+            d, lowf, true, delta_scale=(1.0,), clip_min=(1500.0,),
+            clip_max=(4700.0,), clip_mode=mode))
+
+    v_hard = out_mean(deltas, "hard")
+    v_ste = out_mean(deltas, "ste")
+    assert float(v_hard) == float(v_ste) == 4700.0
+    g_hard = jax.grad(out_mean)(deltas, "hard")
+    g_ste = jax.grad(out_mean)(deltas, "ste")
+    assert float(jnp.max(jnp.abs(g_hard))) == 0.0
+    assert float(jnp.min(jnp.abs(g_ste))) > 0.0
+
+
 def test_vae_reparam_and_kl():
     net = VaeNet(out_shape=(64, 64), latent_dim=8, filters=(4, 8, 16))
     shots = jnp.zeros((2, 256, 64, 4))
