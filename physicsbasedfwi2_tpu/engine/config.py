@@ -138,6 +138,21 @@ class ExperimentConfig:
                                         # networks.py:10455-10460)
     clip_max: tuple | None = None       # upper bounds (None ->
                                         # 4700, 2700, 3000)
+    phase_reset_opt: bool = False       # re-init the optimizer state
+                                        # at the lstart warmup ->
+                                        # physics switch (the
+                                        # reference's physics phase
+                                        # started from a checkpoint
+                                        # with a NEW optimizer).  Note:
+                                        # with --continue-train
+                                        # resuming inside the physics
+                                        # phase this fires once more
+                                        # on the first resumed epoch.
+    phase_lr_ramp: int = 0              # >0: ramp lr linearly from 0
+                                        # over this many epochs after
+                                        # the physics switch (damps
+                                        # the oversized first steps on
+                                        # a fresh loss surface)
     clip_mode: str = "hard"             # "hard": jnp.clip (zero
                                         # gradient outside the bounds
                                         # — railed cells are stuck);

@@ -878,6 +878,7 @@ class ElasticDIPEngine(EngineBase):
         self._rng = jax.random.PRNGKey(cfg.seed + 7)
         self._step_cache = {}
         self._stage_cache = {}
+        self._phase_reset_done = False
 
     def _stage_data(self, fc):
         """Per-stage (wavelet_fc, obs_vx_fc, obs_vz_fc), cached.
@@ -1196,13 +1197,28 @@ class ElasticDIPEngine(EngineBase):
         self._rng, s1, s2 = jax.random.split(self._rng, 3)
         # random shot subset per iteration (AutoElMar22_model.py:512)
         idx = jax.random.permutation(s1, cfg.num_shots)[:nsub]
+        use_physics = epoch > cfg.lstart
+        if (use_physics and cfg.lstart > 0 and cfg.phase_reset_opt
+                and not self._phase_reset_done):
+            # fresh optimizer at the warmup->physics switch: the
+            # reference resumed its physics phase from a pretrained
+            # checkpoint with a NEW optimizer
+            # (trainVelAutoElMar22ModelPhy.sh --continue_train); a
+            # carried-over Adam state has near-zero second moments
+            # from the converged anchor loss plus a stale timestep,
+            # so its first physics steps are several times oversized
+            self.opt_state = self.opt.init(self.params)
+            self._phase_reset_done = True
         if self.lr_policy is not None:
-            _set_lr(self.opt_state, self.lr_policy.lr_for_epoch(epoch))
+            lr = self.lr_policy.lr_for_epoch(epoch)
+            if use_physics and cfg.phase_lr_ramp > 0:
+                # linear lr ramp over the first physics epochs
+                lr *= min(1.0, (epoch - cfg.lstart) / cfg.phase_lr_ramp)
+            _set_lr(self.opt_state, lr)
         step = self._get_step()
         pack = {"in_vx": self.in_vx, "in_vz": self.in_vz,
                 "lowf": self.lowf, "true_m": self.true_m,
                 "phys": self._stage_pack(fc)}
-        use_physics = epoch > cfg.lstart
         self.params, self.opt_state, loss, loss_d, mse = step(
             self.params, self.opt_state, idx, s2, use_physics, pack)
         loss_d, mse = map(float, jax.device_get((loss_d, mse)))
