@@ -122,11 +122,23 @@ def prepare_acoustic_tree(vp: np.ndarray, out_root: str, *,
                           num_shots: int = 18, num_receivers: int = 200,
                           pml_width: int = 20, water_rows: int = 26,
                           chunk: int = 64, smooth_iters: int = 40,
-                          phases=("train", "test"), test_seed: int = 17):
+                          phases=("train", "test"), test_seed: int = 17,
+                          water_vel: float = 1500.0):
     """vp [nz, nx] -> unalignedVelABCD2 npy tree with observed data
     simulated by our acoustic propagator (trainA), the true model
     (trainB) and the smoothed start (trainC); a perturbed 'test' twin
-    provides the held-out validation sample (create_dataset2 role)."""
+    provides the held-out validation sample (create_dataset2 role).
+
+    Storage convention (must match the engine's from-disk handling,
+    engines.py AcousticDIPEngine): trainA gathers are stored with the
+    constant-water-model direct arrival already SUBTRACTED — the
+    reference normalizes observed data raw while removing the direct
+    from predictions only (networks.py:5418 vs 5467), which is
+    consistent only because its trainA files lack the direct.  The
+    gathers are simulated with the same operator the engine inverts
+    with on the current platform (fused Pallas kernel on TPU, XLA
+    scheme elsewhere) so the misfit is zero at the true model."""
+    import jax
     import jax.numpy as jnp
     from physicsbasedfwi2_tpu.geo import Grid2D, check_cfl, ricker, \
         surface_line
@@ -143,6 +155,14 @@ def prepare_acoustic_tree(vp: np.ndarray, out_root: str, *,
                        rcv_depth=0)
     geom = tuple(jnp.asarray(a) for a in
                  (acq.src_z, acq.src_x, acq.rcv_z, acq.rcv_x))
+    if jax.devices()[0].platform == "tpu":
+        from physicsbasedfwi2_tpu.ops.pallas_scalar2 import forward2
+        sim = lambda m: np.asarray(forward2(jnp.asarray(m), wav,
+                                            *geom, cfg))
+    else:
+        sim = lambda m: np.asarray(simulate_acoustic(jnp.asarray(m),
+                                                     wav, *geom, cfg))
+    direct = sim(np.full_like(vp, water_vel))
 
     rng = np.random.default_rng(test_seed)
     for phase in phases:
@@ -155,8 +175,7 @@ def prepare_acoustic_tree(vp: np.ndarray, out_root: str, *,
                                     + ((x - xc) / (0.1 * nx)) ** 2))
             m = np.clip(m + bump, m.min(), m.max())
             m[:water_rows] = vp[:water_rows]
-        obs = np.asarray(simulate_acoustic(jnp.asarray(m), wav, *geom,
-                                           cfg))
+        obs = sim(m) - direct
         start = smooth_model(m, iters=smooth_iters,
                              preserve_rows=water_rows)
         for letter, arr in (("A", obs), ("B", m), ("C", start)):
@@ -180,7 +199,6 @@ def prepare_elastic_tree(vp: np.ndarray, out_root: str, *,
     unalignedVelABCDEl_dataset.py:84-87)."""
     import jax.numpy as jnp
     from physicsbasedfwi2_tpu.geo import Grid2D, check_cfl, ricker
-    from physicsbasedfwi2_tpu.geo.acquisition import Acquisition
     from physicsbasedfwi2_tpu.ops import ElasticConfig, simulate_elastic
     from physicsbasedfwi2_tpu.data.synthetic import (make_elastic_model,
                                                      smooth_model)
@@ -193,17 +211,26 @@ def prepare_elastic_tree(vp: np.ndarray, out_root: str, *,
     wav = ricker(freq, nt, dt)
     vp_t, vs_t, rho_t = make_elastic_model(vp, vpvs=vpvs,
                                            water_rows=water_rows)
-    src_x = np.round(np.linspace(2, nx - 3, num_shots)).astype(np.int32)
-    src_z = np.full(num_shots, min(water_rows + 1, nz - 2), np.int32)
-    rx = np.round(np.linspace(1, nx - 2, num_receivers)).astype(np.int32)
-    acq = Acquisition(src_z, src_x,
-                      np.full((num_shots, num_receivers),
-                              min(water_rows + 1, nz - 2), np.int32),
-                      np.tile(rx, (num_shots, 1)))
+    # same builder the engine's from-disk loader uses
+    # (elastic_workload_from_disk -> elastic_line), so prep-time and
+    # train-time geometries can never drift apart
+    from physicsbasedfwi2_tpu.geo.acquisition import elastic_line
+    acq = elastic_line(num_shots, num_receivers, nx, nz,
+                       src_row=water_rows + 1, rcv_row=water_rows + 1)
     geom = tuple(jnp.asarray(a) for a in
                  (acq.src_z, acq.src_x, acq.rcv_z, acq.rcv_x))
-    ovx, ovz = simulate_elastic(jnp.asarray(vp_t), jnp.asarray(vs_t),
-                                jnp.asarray(rho_t), wav, *geom, cfg)
+    # simulate with the operator the engine inverts with on this
+    # platform (fused Pallas ring kernel on TPU, XLA elsewhere) so the
+    # stored gathers are operator-consistent with the inversion
+    import jax as _jax
+    if _jax.devices()[0].platform == "tpu":
+        from physicsbasedfwi2_tpu.ops.pallas_elastic_fused import (
+            simulate_elastic_ring)
+        sim_el = simulate_elastic_ring
+    else:
+        sim_el = simulate_elastic
+    ovx, ovz = sim_el(jnp.asarray(vp_t), jnp.asarray(vs_t),
+                      jnp.asarray(rho_t), wav, *geom, cfg)
     b = np.stack([vp_t, vs_t, rho_t]) / 100.0
     c = np.stack([smooth_model(f, iters=smooth_iters,
                                preserve_rows=water_rows)

@@ -119,6 +119,26 @@ class ExperimentConfig:
                                         # elastic gradient (the
                                         # acoustic engine uses p=2,
                                         # networks.py:5329-5332)
+    grad_field_weights: tuple | None = None
+                                        # per-field multipliers applied
+                                        # to the PROCESSED gradient
+                                        # (vp, vs[, rho]); None -> all
+                                        # 1.  A weakly-illuminated
+                                        # field (vs under a water
+                                        # layer) can be damped without
+                                        # touching the others.
+    field_start_epochs: tuple | None = None
+                                        # per-field physics-phase entry
+                                        # offset: field k's gradient is
+                                        # zeroed until epoch >=
+                                        # lstart + value
+                                        # (staged multi-parameter FWI —
+                                        # the reference gates the rho
+                                        # backward on currenterror <
+                                        # 0.4*initerror the same way,
+                                        # AutoElMar22_model.py:446-451).
+                                        # None -> all fields from the
+                                        # first physics epoch.
     delta_scale: tuple | None = None    # per-field delta scale (m/s):
                                         # tanh head -> max |delta|
                                         # bound (None -> 300,200,150);

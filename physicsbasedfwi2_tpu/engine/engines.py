@@ -1122,7 +1122,11 @@ class ElasticDIPEngine(EngineBase):
                     g = rescale_to_model(g, m[..., k])
                 else:
                     g = g * cfg.grad_scale
-                cols.append(g)
+                # dynamic per-field weight (grad_field_weights x the
+                # field_start_epochs gate, computed per epoch in
+                # optimize_parameters and threaded through the pack so
+                # staging never triggers a recompile)
+                cols.append(g * pd["fw"][k])
             return loss, (jnp.stack(cols, -1), pd)
 
         def bwd(res, g):
@@ -1189,6 +1193,23 @@ class ElasticDIPEngine(EngineBase):
         self._step_cache["step"] = train_step
         return train_step
 
+    def _field_weights(self, epoch: int):
+        """Per-field gradient multipliers for this epoch:
+        grad_field_weights masked by the field_start_epochs gate
+        (staged multi-parameter FWI; the reference gates rho on
+        currenterror < 0.4*initerror, AutoElMar22_model.py:446-451)."""
+        cfg = self.cfg
+        fw = [1.0] * self.n_fields
+        if cfg.grad_field_weights is not None:
+            fw = [float(w) for w in
+                  cfg.grad_field_weights[: self.n_fields]]
+        if cfg.field_start_epochs is not None:
+            for k, e0 in enumerate(
+                    cfg.field_start_epochs[: self.n_fields]):
+                if epoch < cfg.lstart + int(e0):
+                    fw[k] = 0.0
+        return fw
+
     def optimize_parameters(self, epoch: int, freq: float | None = None):
         cfg = self.cfg
         fc = freq if freq is not None else (
@@ -1218,7 +1239,9 @@ class ElasticDIPEngine(EngineBase):
         step = self._get_step()
         pack = {"in_vx": self.in_vx, "in_vz": self.in_vz,
                 "lowf": self.lowf, "true_m": self.true_m,
-                "phys": self._stage_pack(fc)}
+                "phys": dict(self._stage_pack(fc),
+                             fw=jnp.asarray(self._field_weights(epoch),
+                                            jnp.float32))}
         self.params, self.opt_state, loss, loss_d, mse = step(
             self.params, self.opt_state, idx, s2, use_physics, pack)
         loss_d, mse = map(float, jax.device_get((loss_d, mse)))

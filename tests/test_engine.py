@@ -546,6 +546,32 @@ def test_elastic_lstart_warmup_then_physics():
     assert r3["loss_D_MSE"] > 0.0  # physics phase engaged
 
 
+def test_elastic_field_gating():
+    """Per-field staging: grad_field_weights zeroes a field's
+    processed gradient; field_start_epochs gates it by epoch (the
+    reference's currenterror-gated rho backward,
+    AutoElMar22_model.py:446-451, generalized to vs)."""
+    cfg = get_workload("marmousi_elastic", **SMALL_EL).replace(
+        name="t_gate", save_dir="/tmp/fwi_test_ck",
+        grad_field_weights=(1.0, 0.0))
+    eng = create_engine(cfg)
+    physics_loss = eng._make_physics_loss()
+    m = jnp.stack([eng.wl.start["vp"], eng.wl.start["vs"]], -1)
+    idx = jnp.arange(2)
+    pd = dict(eng._stage_pack(0.0), fw=jnp.asarray([1.0, 0.0]))
+    g = jax.grad(lambda mm: physics_loss(mm, idx, pd))(m)
+    assert float(jnp.abs(g[..., 0]).max()) > 0.0   # vp flows
+    assert float(jnp.abs(g[..., 1]).max()) == 0.0  # vs gated off
+    # epoch gate: fw becomes 0 before lstart + start_epoch
+    cfg2 = cfg.replace(grad_field_weights=None,
+                       field_start_epochs=(0, 3), lstart=0)
+    eng2 = create_engine(cfg2)
+    fw_early = eng2._field_weights(1)   # epoch 1 < lstart+3 -> vs off
+    fw_late = eng2._field_weights(5)    # epoch 5 >= lstart+3 -> vs on
+    assert fw_early[1] == 0.0 and fw_late[1] == 1.0
+    assert fw_early[0] == 1.0
+
+
 def test_encoded_acoustic_engine_trains():
     """Simultaneous-source mode: the engine inverts on random-polarity
     super-shots with a fresh encoding each iteration (ops/encoding.py;
