@@ -119,6 +119,23 @@ class ExperimentConfig:
                                         # elastic gradient (the
                                         # acoustic engine uses p=2,
                                         # networks.py:5329-5332)
+    tether_weight: float = 0.0          # gradient-level Tikhonov
+                                        # tether to the low-frequency
+                                        # model: a pull of
+                                        # tether_weight x the physics
+                                        # gradient's per-field RMS is
+                                        # added toward lowf inside the
+                                        # injected VJP.  Unlike
+                                        # anchor_weight (a loss term
+                                        # whose scale is
+                                        # incommensurate with the
+                                        # grad_scale-amplified physics
+                                        # push), this acts in the same
+                                        # units as the physics
+                                        # gradient, so 0.3 means "the
+                                        # tether is 30% as strong as
+                                        # the data term" at every
+                                        # iteration and stage.
     grad_field_weights: tuple | None = None
                                         # per-field multipliers applied
                                         # to the PROCESSED gradient

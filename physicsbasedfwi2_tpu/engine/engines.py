@@ -1127,7 +1127,23 @@ class ElasticDIPEngine(EngineBase):
                 # optimize_parameters and threaded through the pack so
                 # staging never triggers a recompile)
                 cols.append(g * pd["fw"][k])
-            return loss, (jnp.stack(cols, -1), pd)
+            gm = jnp.stack(cols, -1)
+            if cfg.tether_weight > 0:
+                # Tikhonov-to-start tether in gradient units: pull
+                # each field toward the low-frequency model with
+                # tether_weight x the field's physics-gradient RMS.
+                # The data term barely separates good from bad basins
+                # here (misfit plateaus at the same value whether the
+                # model converges or diverges, docs/RESULTS.md), so
+                # null-space drift must be suppressed at the
+                # gradient level, where the scales are commensurate.
+                d = m - pd["lowf_m"]
+                g_rms = jnp.sqrt(jnp.mean(gm ** 2, axis=(0, 1),
+                                          keepdims=True))
+                d_rms = jnp.sqrt(jnp.mean(d ** 2, axis=(0, 1),
+                                          keepdims=True))
+                gm = gm + cfg.tether_weight * g_rms * d / (d_rms + 1e-20)
+            return loss, (gm, pd)
 
         def bwd(res, g):
             gm, pd = res
@@ -1241,7 +1257,8 @@ class ElasticDIPEngine(EngineBase):
                 "lowf": self.lowf, "true_m": self.true_m,
                 "phys": dict(self._stage_pack(fc),
                              fw=jnp.asarray(self._field_weights(epoch),
-                                            jnp.float32))}
+                                            jnp.float32),
+                             lowf_m=self.lowf[0])}
         self.params, self.opt_state, loss, loss_d, mse = step(
             self.params, self.opt_state, idx, s2, use_physics, pack)
         loss_d, mse = map(float, jax.device_get((loss_d, mse)))

@@ -572,6 +572,37 @@ def test_elastic_field_gating():
     assert fw_early[0] == 1.0
 
 
+def test_elastic_gradient_tether():
+    """tether_weight adds a pull toward the low-frequency model inside
+    the injected VJP, scaled to the physics gradient's RMS (null-space
+    drift suppression; see engines.py _make_physics_loss)."""
+    cfg = get_workload("marmousi_elastic", **SMALL_EL).replace(
+        name="t_teth", save_dir="/tmp/fwi_test_ck", tether_weight=1.0)
+    eng = create_engine(cfg)
+    physics_loss = eng._make_physics_loss()
+    m = jnp.stack([eng.wl.start["vp"], eng.wl.start["vs"]], -1)
+    # displace the model from lowf so the tether has a direction
+    m = m + 40.0
+    lowf = eng.lowf[0]
+    idx = jnp.arange(2)
+    base_pd = dict(eng._stage_pack(0.0), fw=jnp.asarray([1.0, 1.0]),
+                   lowf_m=lowf)
+    g1 = jax.grad(lambda mm: physics_loss(mm, idx, base_pd))(m)
+    eng0 = create_engine(cfg.replace(tether_weight=0.0))
+    pl0 = eng0._make_physics_loss()
+    g0 = jax.grad(lambda mm: pl0(mm, idx, base_pd))(m)
+    d = g1 - g0
+    # the added term is parallel to (m - lowf), positive scale
+    corr = jnp.sum(d * (m - lowf)) / (
+        jnp.linalg.norm(d) * jnp.linalg.norm(m - lowf) + 1e-20)
+    assert float(corr) > 0.99, float(corr)
+    # and its per-field RMS equals the physics gradient's RMS (w=1)
+    for k in range(2):
+        r_d = float(jnp.sqrt(jnp.mean(d[..., k] ** 2)))
+        r_g = float(jnp.sqrt(jnp.mean(g0[..., k] ** 2)))
+        assert abs(r_d - r_g) / (r_g + 1e-20) < 0.05, (r_d, r_g)
+
+
 def test_encoded_acoustic_engine_trains():
     """Simultaneous-source mode: the engine inverts on random-polarity
     super-shots with a fresh encoding each iteration (ops/encoding.py;
