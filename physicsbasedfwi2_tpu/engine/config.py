@@ -328,6 +328,16 @@ _EL = ExperimentConfig(
     freq_stages=(4.0, 6.0, 8.0, 10.0, 15.0, 20.0),
     plateau_mode="improve", plateau_eps=0.005, plateau_history=15,
     stage_max_epochs=150,
+    # The data term barely separates basins on this workload (tnl1
+    # plateaus ~0.2-0.3 whether the model converges or diverges), so
+    # the recipe above is fragile to the workload/net seed: measured,
+    # seed (0,0) descends to 4.2k model MSE while (1,1), (0,1) and
+    # (1,0) all blow past 45k.  The gradient-level lowf tether bounds
+    # that drift: every probed combination descends monotonically
+    # below its starting model with tether 0.3 (engines.py
+    # _make_physics_loss; w=1.0 pins at start, w=0 reproduces the
+    # fragile reference behavior).
+    tether_weight=0.3,
 )
 register_workload("marmousi_elastic", _EL)
 register_workload("marmousi_elastic_lbfgs",
