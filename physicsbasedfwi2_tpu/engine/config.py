@@ -136,6 +136,16 @@ class ExperimentConfig:
                                         # tether is 30% as strong as
                                         # the data term" at every
                                         # iteration and stage.
+    tether_decay: float = 1.0           # per-stage tether relaxation:
+                                        # the effective tether at
+                                        # continuation stage i is
+                                        # tether_weight * decay**i —
+                                        # classical multiscale FWI
+                                        # shrinks regularization as
+                                        # higher frequencies add
+                                        # trustworthy data content.
+                                        # Threaded through the step's
+                                        # data pack (no recompile).
     grad_field_weights: tuple | None = None
                                         # per-field multipliers applied
                                         # to the PROCESSED gradient

@@ -1142,7 +1142,11 @@ class ElasticDIPEngine(EngineBase):
                                           keepdims=True))
                 d_rms = jnp.sqrt(jnp.mean(d ** 2, axis=(0, 1),
                                           keepdims=True))
-                gm = gm + cfg.tether_weight * g_rms * d / (d_rms + 1e-20)
+                # pd["tw"] = tether_weight * tether_decay**stage_i,
+                # computed per epoch in optimize_parameters and
+                # threaded through the pack so stage advances never
+                # trigger a recompile
+                gm = gm + pd["tw"] * g_rms * d / (d_rms + 1e-20)
             return loss, (gm, pd)
 
         def bwd(res, g):
@@ -1253,11 +1257,15 @@ class ElasticDIPEngine(EngineBase):
                 lr *= min(1.0, (epoch - cfg.lstart) / cfg.phase_lr_ramp)
             _set_lr(self.opt_state, lr)
         step = self._get_step()
+        stage_i = (cfg.freq_stages.index(fc)
+                   if cfg.freq_stages and fc in cfg.freq_stages else 0)
+        tw = cfg.tether_weight * cfg.tether_decay ** stage_i
         pack = {"in_vx": self.in_vx, "in_vz": self.in_vz,
                 "lowf": self.lowf, "true_m": self.true_m,
                 "phys": dict(self._stage_pack(fc),
                              fw=jnp.asarray(self._field_weights(epoch),
                                             jnp.float32),
+                             tw=jnp.float32(tw),
                              lowf_m=self.lowf[0])}
         self.params, self.opt_state, loss, loss_d, mse = step(
             self.params, self.opt_state, idx, s2, use_physics, pack)

@@ -586,21 +586,47 @@ def test_elastic_gradient_tether():
     lowf = eng.lowf[0]
     idx = jnp.arange(2)
     base_pd = dict(eng._stage_pack(0.0), fw=jnp.asarray([1.0, 1.0]),
-                   lowf_m=lowf)
+                   tw=jnp.float32(cfg.tether_weight), lowf_m=lowf)
     g1 = jax.grad(lambda mm: physics_loss(mm, idx, base_pd))(m)
     eng0 = create_engine(cfg.replace(tether_weight=0.0))
     pl0 = eng0._make_physics_loss()
     g0 = jax.grad(lambda mm: pl0(mm, idx, base_pd))(m)
     d = g1 - g0
-    # the added term is parallel to (m - lowf), positive scale
-    corr = jnp.sum(d * (m - lowf)) / (
-        jnp.linalg.norm(d) * jnp.linalg.norm(m - lowf) + 1e-20)
-    assert float(corr) > 0.99, float(corr)
-    # and its per-field RMS equals the physics gradient's RMS (w=1)
+    dm = m - lowf
+    # the added term is parallel to (m - lowf) PER FIELD (each field
+    # is scaled by its own g_rms/d_rms, so the stacked vectors are
+    # only field-wise parallel), with per-field RMS equal to the
+    # physics gradient's RMS (w=1)
     for k in range(2):
+        corr = jnp.sum(d[..., k] * dm[..., k]) / (
+            jnp.linalg.norm(d[..., k]) * jnp.linalg.norm(dm[..., k])
+            + 1e-20)
+        assert float(corr) > 0.99, (k, float(corr))
         r_d = float(jnp.sqrt(jnp.mean(d[..., k] ** 2)))
         r_g = float(jnp.sqrt(jnp.mean(g0[..., k] ** 2)))
         assert abs(r_d - r_g) / (r_g + 1e-20) < 0.05, (r_d, r_g)
+
+
+def test_elastic_tether_decays_per_stage():
+    """tether_decay relaxes the tether as continuation advances:
+    the step pack's tw carries tether_weight * decay**stage_i (the
+    stage is threaded as data, never a recompile)."""
+    cfg = get_workload("marmousi_elastic", **SMALL_EL).replace(
+        name="t_tethdec", save_dir="/tmp/fwi_test_ck",
+        tether_weight=0.4, tether_decay=0.5,
+        freq_stages=(6.0, 10.0, 15.0))
+    eng = create_engine(cfg)
+    seen = []
+
+    def fake_step(params, opt_state, idx, rng, use_physics, pack):
+        seen.append(float(pack["phys"]["tw"]))
+        return params, opt_state, 0.0, 0.0, 0.0
+
+    eng._step_cache["step"] = fake_step
+    for freq in (6.0, 10.0, 15.0):
+        eng.optimize_parameters(1, freq=freq)
+    assert seen == [pytest.approx(0.4), pytest.approx(0.2),
+                    pytest.approx(0.1)], seen
 
 
 def test_encoded_acoustic_engine_trains():
