@@ -350,8 +350,22 @@ _EL = ExperimentConfig(
     tether_weight=0.3,
 )
 register_workload("marmousi_elastic", _EL)
+# L-BFGS variant (AutoElMar22LBFGS_model.py:128-137).  L-BFGS builds
+# its own curvature model from (value, grad) pairs, so the Adam-era
+# gradient conditioning above (grad_scale=1e6 fixed rescale, depth^2
+# weighting, taper, gradient-level tether) must come OFF: a zoom
+# linesearch fed a conditioned "gradient" mis-estimates the
+# directional derivative by ~1e6 and collapses the step to ~1e-8
+# (measured).  Full-batch (all 35 shots per closure, the reference's
+# FullBatchLBFGS contract) over the smooth trace-normalized L2
+# misfit; raw-amplitude l2 is ~1e-7 in f32 and stalls the Wolfe
+# comparisons (measured).  The optimizer ignores lr (linesearch
+# picks the step).
 register_workload("marmousi_elastic_lbfgs",
-                  _EL.replace(optimizer="lbfgs", lr=5e-8))
+                  _EL.replace(optimizer="lbfgs", shots_per_iter=None,
+                              misfit="tnl2", grad_rescale="none",
+                              grad_scale=1.0, grad_depth_power=0.0,
+                              grad_taper_rows=0, tether_weight=0.0))
 # density-inversion head (AutoElFullRhoMar22, networks.py:8552-8936)
 register_workload("marmousi_elastic_rho",
                   _EL.replace(netG="AutoElFullRhoMar22"))

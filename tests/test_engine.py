@@ -629,6 +629,25 @@ def test_elastic_tether_decays_per_stage():
                     pytest.approx(0.1)], seen
 
 
+def test_lbfgs_elastic_workload_descends():
+    """The registered L-BFGS elastic workload must make real progress:
+    its (value, grad) pair is consistent (no Adam-era gradient
+    conditioning), so the zoom linesearch takes non-trivial steps and
+    the full-batch data misfit falls.  Regression for the stale
+    round-2 config, whose conditioned gradient mis-estimated the
+    directional derivative by ~1e6 and froze the step at ~1e-8."""
+    cfg = get_workload("marmousi_elastic_lbfgs", **SMALL_EL).replace(
+        name="t_lbfgs_desc", save_dir="/tmp/fwi_test_ck", lstart=3,
+        shots_per_iter=None, freq_stages=(6.0,),
+        save_epoch_freq=10 ** 9)
+    assert cfg.optimizer == "lbfgs" and cfg.grad_scale == 1.0
+    eng, hist = train(cfg, epochs=12, quiet=True)
+    d_first = hist[cfg.lstart]["loss_D_MSE"]   # first physics epoch
+    d_last = hist[-1]["loss_D_MSE"]
+    assert np.isfinite(d_last) and d_last < 0.9 * d_first, (
+        d_first, d_last)
+
+
 def test_encoded_acoustic_engine_trains():
     """Simultaneous-source mode: the engine inverts on random-polarity
     super-shots with a fresh encoding each iteration (ops/encoding.py;
