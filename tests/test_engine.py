@@ -553,7 +553,7 @@ def test_elastic_field_gating():
     AutoElMar22_model.py:446-451, generalized to vs)."""
     cfg = get_workload("marmousi_elastic", **SMALL_EL).replace(
         name="t_gate", save_dir="/tmp/fwi_test_ck",
-        grad_field_weights=(1.0, 0.0))
+        grad_field_weights=(1.0, 0.0), tether_weight=0.0)
     eng = create_engine(cfg)
     physics_loss = eng._make_physics_loss()
     m = jnp.stack([eng.wl.start["vp"], eng.wl.start["vs"]], -1)
