@@ -37,6 +37,10 @@ def main(argv=None):
     p.add_argument("--vtp", action="store_true",
                    help="also export a ParaView .vtp surface "
                         "(reference h52vtp.py)")
+    p.add_argument("--h5", action="store_true",
+                   help="also export the reference's .h5 surface "
+                        "layout (xcoordinates/ycoordinates/"
+                        "train_loss, plot_surface2.py)")
     p.add_argument("--vtp-log", action="store_true",
                    help="log-transform the .vtp z values")
     p.add_argument("--vtp-zmax", type=float, default=-1.0,
@@ -111,6 +115,17 @@ def main(argv=None):
     os.makedirs(args.out, exist_ok=True)
     np.savez(os.path.join(args.out, f"{args.name}_surface.npz"),
              losses=surf, xs=xs, ys=ys)
+    if args.h5:
+        # reference surface-file layout (plot_surface2.py stores
+        # xcoordinates/ycoordinates + a <surf_name> dataset that
+        # h52vtp.py:30-60 reads back) so reference-era ParaView /
+        # plot_2D tooling can consume surfaces computed here
+        import h5py
+        with h5py.File(os.path.join(
+                args.out, f"{args.name}_surface.h5"), "w") as f:
+            f["xcoordinates"] = xs
+            f["ycoordinates"] = ys
+            f["train_loss"] = surf
     if args.vtp:
         from physicsbasedfwi2_tpu.landscape.vtp import surface_to_vtp
         surface_to_vtp(

@@ -99,12 +99,17 @@ def test_landscape_cli_acoustic_and_elastic(tmp_path):
         buf = io.StringIO()
         with redirect_stdout(buf):
             main(["--workload", wl, "--small", "--name", f"t_{wl}",
-                  "--x=-0.3:0.3:3", "--y=-0.3:0.3:3", "--vtp",
+                  "--x=-0.3:0.3:3", "--y=-0.3:0.3:3", "--vtp", "--h5",
                   "--out", str(tmp_path)])
         out = json.loads(buf.getvalue().strip().splitlines()[-1])
         assert np.isfinite(out["min"]) and out["max"] >= out["min"]
         assert os.path.exists(tmp_path / f"t_{wl}_surface.npz")
         assert os.path.exists(tmp_path / f"t_{wl}_surface.vtp")
+        # reference .h5 layout (plot_surface2.py / h52vtp.py keys)
+        import h5py
+        with h5py.File(tmp_path / f"t_{wl}_surface.h5") as f:
+            assert f["train_loss"].shape == (3, 3)
+            assert f["xcoordinates"].shape == (3,)
 
 
 def test_vtp_export_geometry(tmp_path):
