@@ -146,6 +146,20 @@ class ExperimentConfig:
                                         # trustworthy data content.
                                         # Threaded through the step's
                                         # data pack (no recompile).
+    tether_anneal_plateaus: int = 0     # after the FINAL frequency
+                                        # stage, keep multiplying the
+                                        # tether by tether_decay each
+                                        # time the plateau detector
+                                        # fires again, up to this many
+                                        # extra times.  Lets a long run
+                                        # escape the tether equilibrium
+                                        # (the tether holds the model
+                                        # ~8% under its start and then
+                                        # stalls, docs/RESULTS.md)
+                                        # once continuation has already
+                                        # steered it into a good basin.
+                                        # 0 = off (tether held at the
+                                        # final-stage value forever).
     grad_field_weights: tuple | None = None
                                         # per-field multipliers applied
                                         # to the PROCESSED gradient

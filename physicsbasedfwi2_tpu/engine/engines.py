@@ -1230,7 +1230,8 @@ class ElasticDIPEngine(EngineBase):
                     fw[k] = 0.0
         return fw
 
-    def optimize_parameters(self, epoch: int, freq: float | None = None):
+    def optimize_parameters(self, epoch: int, freq: float | None = None,
+                            tether_stage: int | None = None):
         cfg = self.cfg
         fc = freq if freq is not None else (
             cfg.freq_stages[0] if cfg.freq_stages else 0.0)
@@ -1259,6 +1260,10 @@ class ElasticDIPEngine(EngineBase):
         step = self._get_step()
         stage_i = (cfg.freq_stages.index(fc)
                    if cfg.freq_stages and fc in cfg.freq_stages else 0)
+        if tether_stage is not None:
+            # train.py passes stage + post-final-stage anneal count
+            # when cfg.tether_anneal_plateaus > 0
+            stage_i = tether_stage
         tw = cfg.tether_weight * cfg.tether_decay ** stage_i
         pack = {"in_vx": self.in_vx, "in_vz": self.in_vz,
                 "lowf": self.lowf, "true_m": self.true_m,
@@ -1489,7 +1494,10 @@ class ClassicFWIEngine(EngineBase):
         self._nsub = nsub
         self._rng = jax.random.PRNGKey(cfg.seed + 11)
 
-    def optimize_parameters(self, epoch: int, freq: float | None = None):
+    def optimize_parameters(self, epoch: int, freq: float | None = None,
+                            tether_stage: int | None = None):
+        # tether_stage accepted for train.py API symmetry; classic FWI
+        # optimizes pixels directly and carries no lowf tether
         if self.lr_policy is not None:
             _set_lr(self.opt_state, self.lr_policy.lr_for_epoch(epoch))
         if self.is_elastic:

@@ -173,7 +173,8 @@ def train_supervised(cfg: ExperimentConfig, *, epochs: int | None = None,
 def train(cfg: ExperimentConfig, *, epochs: int | None = None,
           iters_per_epoch: int = 1, workload=None, quiet: bool = False,
           continue_from: str | int | None = None, start_epoch: int = 1,
-          profile_dir: str | None = None, profile_epochs: int = 0):
+          profile_dir: str | None = None, profile_epochs: int = 0,
+          engine=None):
     """Run the training loop; returns (engine, history).
 
     continue_from: checkpoint tag to resume weights from
@@ -182,14 +183,17 @@ def train(cfg: ExperimentConfig, *, epochs: int | None = None,
     profile_dir: capture a jax.profiler trace of the first
         ``profile_epochs`` epochs (the reference only had wall-clock
         prints; this is the TPU-native upgrade, SURVEY §5 tracing).
+    engine: drive a pre-built engine instead of create_engine(cfg)
+        (programmatic/test use).
 
     Supervised/GAN workloads (engine == 'supervised') route to the
     batch/epoch data loop (:func:`train_supervised`).
     """
     if cfg.engine == "supervised":
         return train_supervised(cfg, epochs=epochs, quiet=quiet)
-    engine = create_engine(cfg, workload=workload) if workload is not None \
-        else create_engine(cfg)
+    if engine is None:
+        engine = create_engine(cfg, workload=workload) \
+            if workload is not None else create_engine(cfg)
     if continue_from is not None:
         engine.load_networks(continue_from)
         if not quiet:
@@ -199,6 +203,7 @@ def train(cfg: ExperimentConfig, *, epochs: int | None = None,
     epochs = epochs if epochs is not None else cfg.n_epochs
     stages = list(cfg.freq_stages) or [None]
     stage_i = 0
+    anneal_i = 0  # extra tether-decay steps fired past the final stage
     plateau = PlateauDetector(cfg.plateau_history, cfg.plateau_eps,
                               mode=cfg.plateau_mode,
                               stage_max_epochs=cfg.stage_max_epochs)
@@ -215,8 +220,10 @@ def train(cfg: ExperimentConfig, *, epochs: int | None = None,
         agg = collections.defaultdict(float)
         for _ in range(iters_per_epoch):
             if stages[stage_i] is not None:
+                kw = ({"tether_stage": stage_i + anneal_i}
+                      if cfg.tether_anneal_plateaus > 0 else {})
                 losses = engine.optimize_parameters(
-                    epoch, freq=stages[stage_i])
+                    epoch, freq=stages[stage_i], **kw)
             else:
                 losses = engine.optimize_parameters(epoch)
             for k, v in losses.items():
@@ -233,6 +240,18 @@ def train(cfg: ExperimentConfig, *, epochs: int | None = None,
                 if not quiet:
                     print(f"[freq-continuation] advancing to stage "
                           f"{stages[stage_i]} Hz at epoch {epoch}")
+            elif anneal_i < cfg.tether_anneal_plateaus:
+                # final stage reached: each further plateau relaxes
+                # the lowf tether one more tether_decay notch (the
+                # detector self-resets on fire, so this recurs every
+                # ~window epochs while the loss stays flat)
+                anneal_i += 1
+                if not quiet:
+                    tw = (cfg.tether_weight
+                          * cfg.tether_decay
+                          ** (stage_i + anneal_i))
+                    print(f"[tether-anneal] plateau at final stage: "
+                          f"tether -> {tw:.4f} at epoch {epoch}")
         rec = {"epoch": epoch, **agg, **val_losses,
                "freq_stage": stages[stage_i],
                "epoch_time": time.time() - t0}

@@ -629,6 +629,37 @@ def test_elastic_tether_decays_per_stage():
                     pytest.approx(0.1)], seen
 
 
+def test_tether_anneals_past_final_stage():
+    """tether_anneal_plateaus: once the LAST frequency stage is
+    reached, each further plateau-detector fire relaxes the tether one
+    more tether_decay notch (train.py passes tether_stage =
+    stage_i + anneal_i), capped at the configured count.  Lets long
+    runs escape the tether equilibrium after continuation ends."""
+    cfg = get_workload("marmousi_elastic", **SMALL_EL).replace(
+        name="t_tethann", save_dir="/tmp/fwi_test_ck",
+        tether_weight=0.4, tether_decay=0.5, lstart=1,
+        freq_stages=(6.0, 10.0), plateau_history=2, plateau_eps=0.5,
+        tether_anneal_plateaus=2, save_epoch_freq=10 ** 9,
+        stage_max_epochs=0)
+    eng = create_engine(cfg)
+    seen = []
+
+    def fake_step(params, opt_state, idx, rng, use_physics, pack):
+        seen.append(float(pack["phys"]["tw"]))
+        # constant loss -> every full window is a plateau
+        return params, opt_state, 1.0, 1.0, 0.0
+
+    eng._step_cache["step"] = fake_step
+    train(cfg, epochs=20, quiet=True, engine=eng)
+    # stage 0 (tw .4) -> stage 1 (.2) -> anneal 1 (.1) -> anneal 2
+    # (.05), then held: no further decay past the cap
+    assert seen[0] == pytest.approx(0.4)
+    assert set(round(t, 3) for t in seen) == {0.4, 0.2, 0.1, 0.05}, seen
+    assert seen[-1] == pytest.approx(0.05), seen[-1]
+    # order is monotone non-increasing
+    assert all(a >= b - 1e-9 for a, b in zip(seen, seen[1:])), seen
+
+
 def test_lbfgs_elastic_workload_descends():
     """The registered L-BFGS elastic workload must make real progress:
     its (value, grad) pair is consistent (no Adam-era gradient
