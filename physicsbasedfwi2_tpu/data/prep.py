@@ -324,9 +324,7 @@ def prepare_su_observed(su_dir: str, out_root: str, *,
             path = os.path.join(su_dir, f"{prefix}_{comp}.su.shot{k}")
             if not os.path.exists(path):
                 break
-            tr, dt = read_su_gather(path)
-            if dt <= 0:
-                raise ValueError(f"{path}: non-positive dt {dt}s")
+            tr, dt = read_su_gather(path)  # raises on dt <= 0
             if dt_s is None:
                 dt_s, first_file = dt, path
             elif abs(dt - dt_s) > 1e-12:

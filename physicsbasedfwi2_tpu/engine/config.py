@@ -343,9 +343,12 @@ _EL = ExperimentConfig(
     # until the model is worse than its low-frequency start.  The
     # recipe below — trace-normalized L1, fixed gradient scale so the
     # update decays with the residual, depth^2 weighting (the acoustic
-    # engine's own convention, networks.py:5329-5332), taper through
-    # the receiver row, continuation from 4 Hz with an
-    # improvement-based plateau detector — beats the starting model
+    # engine's own convention, networks.py:5329-5332), taper of the
+    # water column UP TO the src/rcv row (taper_top zeroes rows
+    # 0..26; the src/rcv row water_rows+1 = 27 itself stays live,
+    # its spike damped by the depth^2 weight), continuation from
+    # 4 Hz with an improvement-based
+    # plateau detector — beats the starting model
     # (7,951 -> <5,400 model MSE) with every stage advancing.
     misfit="tnl1", grad_rescale="none", grad_scale=1e6,
     grad_depth_power=2.0, grad_taper_rows=27,

@@ -198,9 +198,12 @@ class AcousticDIPEngine(EngineBase):
         if cfg.wavelet_from_data and self.wl.wavelet.ndim == 1:
             # AutoWav on a synthetic workload: materialize the
             # per-shot wavelet array the trainD data would carry
+            # (sized to the WORKLOAD's shot count — a dataroot may
+            # carry a different gather count than the config)
             self.wl.wavelet = jnp.broadcast_to(
                 self.wl.wavelet[None, :],
-                (cfg.num_shots, self.wl.wavelet.shape[0]))
+                (int(self.wl.geom[0].shape[0]),
+                 self.wl.wavelet.shape[0]))
         # fused-path decision precedes any obs handling so the data
         # the engine fits is generated by the SAME operator it inverts
         # with (second-order sponge scheme vs 4th-order split-PML).
@@ -625,10 +628,14 @@ class MultiSampleAcousticDIPEngine(EngineBase):
         if cfg.direct_wave:
             const = jnp.full_like(wl0.vp_true, cfg.water_vel)
             self._direct = simulate_acoustic(const, wav, *geom, wl_cfg)
-            if not any(getattr(w, "from_disk", False) for w in workloads):
-                # synthetic storage convention: stored gathers lack
-                # the direct arrival (see AcousticDIPEngine)
-                self.obs = self.obs - self._direct[None]
+            # disk trees store direct-removed gathers (data/prep.py);
+            # synthetic obs are full wavefields and need the direct
+            # arrival removed PER SAMPLE (a batch may mix both)
+            synth = jnp.asarray(
+                [0.0 if getattr(w, "from_disk", False) else 1.0
+                 for w in workloads], jnp.float32)
+            self.obs = self.obs - (synth[:, None, None, None]
+                                   * self._direct[None])
         self.obs_norm = trace_normalize(self.obs)
         self.shots_in = jnp.transpose(self.obs, (0, 2, 3, 1))
         self.true_b = self.vp_true[..., None]
@@ -786,6 +793,15 @@ class ElasticDIPEngine(EngineBase):
             rcv_depth_row=cfg.extras.get("rcv_depth_row"),
             rcv_follow_seabed=cfg.extras.get("rcv_follow_seabed",
                                              False))
+        # the shot-sampling space is the WORKLOAD's shot count: a
+        # dataroot may carry fewer/more gathers than the registered
+        # config (e.g. an SU field survey), and sampling cfg.num_shots
+        # would clamp out-of-range gathers silently under jit
+        self.n_shots = int(self.wl.geom[0].shape[0])
+        if self.n_shots != cfg.num_shots:
+            print(f"[{cfg.name}] workload has {self.n_shots} shots; "
+                  f"config num_shots={cfg.num_shots} — using the "
+                  f"workload's count")
         # fast paths (operator consistency mirrors the acoustic
         # engine: synthetic obs are regenerated with the operator the
         # inversion uses):
@@ -1235,10 +1251,10 @@ class ElasticDIPEngine(EngineBase):
         cfg = self.cfg
         fc = freq if freq is not None else (
             cfg.freq_stages[0] if cfg.freq_stages else 0.0)
-        nsub = cfg.shots_per_iter or cfg.num_shots
+        nsub = cfg.shots_per_iter or self.n_shots
         self._rng, s1, s2 = jax.random.split(self._rng, 3)
         # random shot subset per iteration (AutoElMar22_model.py:512)
-        idx = jax.random.permutation(s1, cfg.num_shots)[:nsub]
+        idx = jax.random.permutation(s1, self.n_shots)[:nsub]
         use_physics = epoch > cfg.lstart
         if (use_physics and cfg.lstart > 0 and cfg.phase_reset_opt
                 and not self._phase_reset_done):
@@ -1450,7 +1466,10 @@ class ClassicFWIEngine(EngineBase):
         self.params = {"vp": wl.start["vp"], "vs": wl.start["vs"]}
         self.opt = _make_optimizer(cfg)
         self.opt_state = self.opt.init(self.params)
-        nsub = cfg.shots_per_iter or cfg.num_shots
+        # sample from the workload's actual shot count (a dataroot may
+        # carry a different gather count than the registered config)
+        self.n_shots = int(wl.geom[0].shape[0])
+        nsub = cfg.shots_per_iter or self.n_shots
         # observed gathers enter the step as an argument pytree —
         # at reference scale (35 shots x 5 s x 298 rcv x 2 comps)
         # closing over them would serialize ~280 MB into the HLO
@@ -1503,7 +1522,7 @@ class ClassicFWIEngine(EngineBase):
         if self.is_elastic:
             self._rng, sub = jax.random.split(self._rng)
             idx = jax.random.permutation(
-                sub, self.cfg.num_shots)[: self._nsub]
+                sub, self.n_shots)[: self._nsub]
             self.params, self.opt_state, loss, mse = self._train_step_el(
                 self.params, self.opt_state, idx, self._pd)
         else:

@@ -6,11 +6,13 @@ into a VTK-XML PolyData quad mesh (points = (x, y, z=loss), one quad
 per grid cell, "zvalue" point scalars + "averaged zvalue" cell
 scalars, optional log/zmax transforms). Here the surface already
 lives in memory (or in the CLI's .npz), so this writes the same
-PolyData piece directly with vectorized numpy text formatting instead
-of a per-vertex Python loop over an h5 handle.
+PolyData piece directly, formatting the arrays through np.savetxt
+(C-level) instead of a per-vertex Python loop over an h5 handle.
 """
 
 from __future__ import annotations
+
+import io
 
 import numpy as np
 
@@ -18,14 +20,19 @@ import numpy as np
 def _ascii_rows(arr: np.ndarray, per_row: int) -> str:
     """Format a flat array as indented ascii rows, `per_row` per line."""
     flat = np.asarray(arr).ravel()
-    lines = []
-    for i in range(0, len(flat), per_row):
-        chunk = flat[i:i + per_row]
-        lines.append("          " + " ".join(repr(float(v))
-                                             if chunk.dtype.kind == "f"
-                                             else str(int(v))
-                                             for v in chunk))
-    return "\n".join(lines)
+    if flat.size == 0:
+        return ""
+    # %.9g round-trips float32 exactly (the declared DataArray type)
+    fmt = "%.9g" if flat.dtype.kind == "f" else "%d"
+    n_full = (flat.size // per_row) * per_row
+    buf = io.StringIO()
+    if n_full:
+        np.savetxt(buf, flat[:n_full].reshape(-1, per_row), fmt=fmt,
+                   delimiter=" ")
+    if n_full < flat.size:
+        np.savetxt(buf, flat[n_full:][None], fmt=fmt, delimiter=" ")
+    return "\n".join("          " + ln
+                     for ln in buf.getvalue().rstrip("\n").splitlines())
 
 
 def surface_to_vtp(path: str, losses: np.ndarray, xs: np.ndarray,
@@ -37,6 +44,8 @@ def surface_to_vtp(path: str, losses: np.ndarray, xs: np.ndarray,
     plot convention. Matches h52vtp's output structure: a single Piece
     with ny*nx points at (x, y, z=loss), (ny-1)*(nx-1) quad polys,
     point scalars "zvalue" and cell scalars "averaged zvalue".
+    Degenerate (single-row/column) surfaces export as a point cloud
+    with zero polys.
     """
     losses = np.asarray(losses, np.float64)
     xs = np.asarray(xs, np.float64)
@@ -63,7 +72,11 @@ def surface_to_vtp(path: str, losses: np.ndarray, xs: np.ndarray,
                     axis=1)
     n_polys = conn.shape[0]
     offsets = 4 * np.arange(1, n_polys + 1, dtype=np.int64)
-    cell_avg = z.ravel()[conn].mean(axis=1)
+    cell_avg = (z.ravel()[conn].mean(axis=1) if n_polys
+                else np.zeros((0,), np.float64))
+    cell_lo = cell_avg.min() if n_polys else 0.0
+    cell_hi = cell_avg.max() if n_polys else 0.0
+    off_hi = int(offsets[-1]) if n_polys else 0
 
     parts = [
         '<VTKFile type="PolyData" version="1.0" '
@@ -82,7 +95,7 @@ def surface_to_vtp(path: str, losses: np.ndarray, xs: np.ndarray,
         "      <CellData>",
         f'        <DataArray type="Float32" Name="averaged {name}" '
         'NumberOfComponents="1" format="ascii" '
-        f'RangeMin="{cell_avg.min()}" RangeMax="{cell_avg.max()}">',
+        f'RangeMin="{cell_lo}" RangeMax="{cell_hi}">',
         _ascii_rows(cell_avg, 6),
         "        </DataArray>",
         "      </CellData>",
@@ -99,7 +112,7 @@ def surface_to_vtp(path: str, losses: np.ndarray, xs: np.ndarray,
         _ascii_rows(conn, 12),
         "        </DataArray>",
         '        <DataArray type="Int64" Name="offsets" '
-        f'format="ascii" RangeMin="4" RangeMax="{offsets[-1]}">',
+        f'format="ascii" RangeMin="4" RangeMax="{off_hi}">',
         _ascii_rows(offsets, 12),
         "        </DataArray>",
         "      </Polys>",

@@ -59,8 +59,8 @@ def smooth_spatial(grad: jnp.ndarray, iters: int) -> jnp.ndarray:
     (SPATFILTER / WD_DAMP preconditioners): the raw adjoint gradient
     carries near-singular values at the source/receiver cells (the
     adjoint wavefield is injected there) that otherwise dominate a
-    max-normalized update.  Edge rows/cols use reflect padding so the
-    smoother is mass-preserving."""
+    max-normalized update.  Edge rows/cols use replicate ("edge")
+    padding so boundary values are not attenuated."""
     for _ in range(iters):
         p = jnp.pad(grad, [(1, 1), (0, 0)], mode="edge")
         grad = 0.25 * p[:-2] + 0.5 * p[1:-1] + 0.25 * p[2:]

@@ -193,6 +193,8 @@ def run_elastic_engine(n_devices: int) -> float:
     per-iteration shot subset fanned out over the mesh
     (networks.py:7709-7710's 30-rank role)."""
     import numpy as np
+    import jax
+    import jax.numpy as jnp
 
     from physicsbasedfwi2_tpu.engine.config import get_workload
     from physicsbasedfwi2_tpu.engine.engines import ElasticDIPEngine
@@ -203,12 +205,23 @@ def run_elastic_engine(n_devices: int) -> float:
         "marmousi_elastic", nz=24, nx=32, nt=120, dt=0.0015,
         num_shots=n_devices, shots_per_iter=n_devices,
         num_receivers=12, filters=(4, 8), chunk=20, water_rows=4,
-        pml_width=8, lstart=0, freq=12.0, freq_stages=()).replace(
+        pml_width=8, lstart=0, freq=12.0, freq_stages=(),
+        # the flagship's grad_taper_rows=27 would zero EVERY row of
+        # this 24-row grid, turning the step into a no-op that can't
+        # catch a broken psum; taper only the 4 water rows here
+        grad_taper_rows=4).replace(
             name="dryrun_elastic", save_dir="/tmp/dryrun_el")
     eng = ElasticDIPEngine(cfg, mesh=mesh)
+    p0 = jax.tree_util.tree_leaves(eng.params)[0].copy()
     out = eng.optimize_parameters(1)
     loss = out["loss_D_MSE"]
     assert np.isfinite(loss), f"non-finite elastic loss {loss}"
+    # the sharded gradient must actually reach the optimizer: a wrong
+    # spec/reduction that silently zeroes it would still print a
+    # finite loss
+    p1 = jax.tree_util.tree_leaves(eng.params)[0]
+    assert float(jnp.max(jnp.abs(p1 - p0))) > 0, \
+        "sharded elastic step did not update the generator"
     return loss
 
 

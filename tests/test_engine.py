@@ -527,6 +527,36 @@ def test_elastic_engine_from_dataroot(tmp_path):
     assert np.isfinite(r["loss_D_MSE"])
 
 
+def test_elastic_dataroot_shot_count_wins(tmp_path, capsys):
+    """A dataroot whose gather count differs from cfg.num_shots must
+    drive shot sampling from the DATA's count: sampling cfg.num_shots
+    would clamp out-of-range gather indices silently under jit
+    (double-weighting the last shot) or never touch the extras."""
+    from physicsbasedfwi2_tpu.data import SyntheticElasticWorkload
+    from physicsbasedfwi2_tpu.data.synthetic import write_elastic_npy_tree
+    wl = SyntheticElasticWorkload.build(
+        nz=36, nx=48, nt=160, dt=0.0015, num_shots=3, num_receivers=20,
+        water_rows=4, chunk=25, pml_width=12)
+    write_elastic_npy_tree(str(tmp_path), wl)
+    # config says 4 shots; the tree carries 3
+    cfg = get_workload("marmousi_elastic", **SMALL_EL).replace(
+        name="t_elshots", save_dir="/tmp/fwi_test_ck",
+        dataroot=str(tmp_path), shots_per_iter=None)
+    eng = create_engine(cfg)
+    assert eng.n_shots == 3
+    assert "using the workload's count" in capsys.readouterr().out
+    seen = []
+
+    def fake_step(params, opt_state, idx, rng, use_physics, pack):
+        seen.append(np.asarray(idx))
+        return params, opt_state, 0.0, 0.0, 0.0
+
+    eng._step_cache["step"] = fake_step
+    eng.optimize_parameters(5, freq=12.0)
+    assert seen[0].shape == (3,)
+    assert set(seen[0].tolist()) == {0, 1, 2}
+
+
 def test_elastic_lstart_warmup_then_physics():
     """epoch <= lstart trains the pure low-frequency anchor (the
     reference's loss_G = loss_L_MSE phase); physics starts after
