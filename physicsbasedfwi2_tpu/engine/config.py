@@ -146,6 +146,22 @@ class ExperimentConfig:
                                         # trustworthy data content.
                                         # Threaded through the step's
                                         # data pack (no recompile).
+    grad_illum_eps: float = 0.0         # >0 enables DENISE-style
+                                        # illumination preconditioning
+                                        # (EPRECOND): the elastic
+                                        # gradient is divided by
+                                        # (illum/max(illum) + eps),
+                                        # where illum is the forward
+                                        # particle-velocity energy of
+                                        # the STARTING model summed
+                                        # over all shots and time
+                                        # (ops/elastic_fast.py
+                                        # elastic_illumination) — the
+                                        # physics-informed version of
+                                        # grad_depth_power's z^2 ramp.
+                                        # eps bounds the boost of
+                                        # never-illuminated cells
+                                        # (1/eps max amplification).
     tether_anneal_plateaus: int = 0     # after the FINAL frequency
                                         # stage, keep multiplying the
                                         # tether by tether_decay each

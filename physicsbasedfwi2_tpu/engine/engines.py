@@ -891,6 +891,18 @@ class ElasticDIPEngine(EngineBase):
         self.clip_max = tuple(
             cfg.clip_max or (4700.0, 2700.0, 3000.0))[: self.n_fields]
         self.lr_policy = LrPolicy(cfg) if cfg.optimizer == "adam" else None
+        self._ilw = None
+        if cfg.grad_illum_eps > 0:
+            # DENISE EPRECOND: reciprocal source-illumination weight,
+            # computed ONCE from the starting model over all shots
+            from physicsbasedfwi2_tpu.ops.elastic_fast import (
+                elastic_illumination)
+            wl = self.wl
+            il = elastic_illumination(
+                wl.start["vp"], wl.start["vs"], wl.start["rho"],
+                wl.wavelet, wl.geom[0], wl.geom[1], wl.cfg)
+            il = il / jnp.max(il)
+            self._ilw = 1.0 / (il + cfg.grad_illum_eps)
         self._rng = jax.random.PRNGKey(cfg.seed + 7)
         self._step_cache = {}
         self._stage_cache = {}
@@ -1130,6 +1142,11 @@ class ElasticDIPEngine(EngineBase):
             for k in range(n_fields):
                 g = taper_top(gm[..., k], taper_rows,
                               smooth=cfg.grad_taper_smooth)
+                if cfg.grad_illum_eps > 0:
+                    # DENISE EPRECOND: divide by the starting model's
+                    # source illumination (pd["ilw"] precomputes the
+                    # reciprocal weight once per inversion)
+                    g = g * pd["ilw"]
                 if cfg.grad_smooth > 0:
                     g = smooth_spatial(g, cfg.grad_smooth)
                 if cfg.grad_depth_power > 0:
@@ -1281,13 +1298,15 @@ class ElasticDIPEngine(EngineBase):
             # when cfg.tether_anneal_plateaus > 0
             stage_i = tether_stage
         tw = cfg.tether_weight * cfg.tether_decay ** stage_i
+        phys = dict(self._stage_pack(fc),
+                    fw=jnp.asarray(self._field_weights(epoch),
+                                   jnp.float32),
+                    tw=jnp.float32(tw), lowf_m=self.lowf[0])
+        if self._ilw is not None:
+            phys["ilw"] = self._ilw
         pack = {"in_vx": self.in_vx, "in_vz": self.in_vz,
                 "lowf": self.lowf, "true_m": self.true_m,
-                "phys": dict(self._stage_pack(fc),
-                             fw=jnp.asarray(self._field_weights(epoch),
-                                            jnp.float32),
-                             tw=jnp.float32(tw),
-                             lowf_m=self.lowf[0])}
+                "phys": phys}
         self.params, self.opt_state, loss, loss_d, mse = step(
             self.params, self.opt_state, idx, s2, use_physics, pack)
         loss_d, mse = map(float, jax.device_get((loss_d, mse)))

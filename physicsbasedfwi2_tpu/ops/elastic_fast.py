@@ -79,6 +79,73 @@ def _single_shot_fast(med, damp, free_surface, wavelet, src_z, src_x,
     return rvx, rvz
 
 
+def elastic_illumination(vp, vs, rho, wavelet, src_z, src_x,
+                         cfg: ElasticConfig):
+    """Source-side illumination map: sum over shots and time of the
+    forward particle-velocity energy vx^2 + vz^2, on the INTERIOR
+    grid [nz, nx].
+
+    DENISE's EPRECOND=1 Hessian-diagonal approximation (the reference
+    ran DENISE with its gradient preconditioning available;
+    SURVEY.md §2.1 N2): dividing the adjoint gradient by this map
+    compensates geometric spreading so poorly-illuminated deep/far
+    cells receive commensurate updates — the physics-informed version
+    of the engines' crude depth^2 weight.  Forward-only (no
+    backprop), so it runs as a plain scan with no checkpointing and
+    is meant to be computed ONCE per inversion from the starting
+    model (the map varies slowly with the model)."""
+    g = cfg.grid
+    vp = _pad(jax.lax.stop_gradient(vp).astype(jnp.float32), g)
+    vs = _pad(jax.lax.stop_gradient(vs).astype(jnp.float32), g)
+    rho = _pad(jax.lax.stop_gradient(rho).astype(jnp.float32), g)
+    med = _staggered_medium(vp, vs, rho)
+    damp = _sponge(cfg)
+    top, w = g.top_pad, g.pml_width
+    src_z = src_z + top
+    src_x = src_x + w
+    if wavelet.ndim == 1:
+        wavelet = jnp.broadcast_to(wavelet[None, :],
+                                   (src_z.shape[0],) + wavelet.shape)
+    lam, mu, mu_xz, bx, bz = med
+    lam2mu = lam + 2.0 * mu
+    dt, inv_dx, order = g.dt, 1.0 / g.dx, cfg.order
+    nz, nx = lam.shape
+    zeros = jnp.zeros((nz, nx), jnp.float32)
+    free_surface = g.free_surface
+
+    def one_shot(wav, sz, sx):
+        src_gain = dt * inv_dx * inv_dx * lam2mu[sz, sx]
+
+        def step(carry, amp_t):
+            vx, vz, sxx, szz, sxz, acc = carry
+            vx = damp * (vx + dt * bx * (dx_fwd(sxx, inv_dx, order)
+                                         + dz_bwd(sxz, inv_dx, order)))
+            vz = damp * (vz + dt * bz * (dx_bwd(sxz, inv_dx, order)
+                                         + dz_fwd(szz, inv_dx, order)))
+            dvxdx = dx_bwd(vx, inv_dx, order)
+            dvzdz = dz_bwd(vz, inv_dx, order)
+            sxx = damp * (sxx + dt * (lam2mu * dvxdx + lam * dvzdz))
+            szz = damp * (szz + dt * (lam * dvxdx + lam2mu * dvzdz))
+            sxz = damp * (sxz + dt * mu_xz * (dx_fwd(vz, inv_dx, order)
+                                              + dz_fwd(vx, inv_dx,
+                                                       order)))
+            amp = amp_t * src_gain
+            sxx = sxx.at[sz, sx].add(amp)
+            szz = szz.at[sz, sx].add(amp)
+            if free_surface:
+                szz = szz.at[0, :].set(0.0)
+            acc = acc + vx * vx + vz * vz
+            return (vx, vz, sxx, szz, sxz, acc), None
+
+        carry = tuple(zeros for _ in range(5)) + (zeros,)
+        final_carry, _ = jax.lax.scan(step, carry, wav)
+        return final_carry[-1]
+
+    illum = jnp.sum(jax.vmap(one_shot)(wavelet, src_z, src_x), 0)
+    nz_i, nx_i = g.shape
+    return jax.lax.dynamic_slice(illum, (top, w), (nz_i, nx_i))
+
+
 def simulate_elastic_fast(vp, vs, rho, wavelet, src_z, src_x, rcv_z,
                           rcv_x, cfg: ElasticConfig):
     """Same contract as :func:`ops.elastic.simulate_elastic`

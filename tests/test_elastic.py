@@ -289,3 +289,20 @@ def test_fused_elastic_tnl1_matches_autodiff_interpret():
         wav, sz, sx, rz, rx, cfg, orx, orz, KC=KC, misfit="tnl1",
         wrt=("vp", "vs", "rho"), interpret=True)
     assert float(loss_t) < 1e-9
+
+
+def test_elastic_illumination_map():
+    """elastic_illumination (DENISE EPRECOND's Hessian-diagonal
+    proxy): interior-shaped, non-negative, peaks near the source and
+    decays into the poorly illuminated deep rows."""
+    from physicsbasedfwi2_tpu.ops.elastic_fast import elastic_illumination
+    cfg, wav, med, geom = small_setup(nz=40, nx=56, nt=300)
+    src_z = jnp.array([4], jnp.int32)
+    src_x = jnp.array([28], jnp.int32)
+    il = elastic_illumination(*med, wav, src_z, src_x, cfg)
+    assert il.shape == (40, 56)
+    il = np.asarray(il)
+    assert (il >= 0).all() and il.max() > 0
+    row_peak = int(np.argmax(il.max(axis=1)))
+    assert row_peak <= 8, row_peak          # energy concentrates at src
+    assert il[-1].max() < 0.05 * il.max()   # deep rows barely lit

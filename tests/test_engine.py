@@ -557,6 +557,36 @@ def test_elastic_dataroot_shot_count_wins(tmp_path, capsys):
     assert set(seen[0].tolist()) == {0, 1, 2}
 
 
+def test_elastic_illumination_preconditioning():
+    """grad_illum_eps > 0 divides the processed gradient by the
+    starting model's source-illumination map (DENISE EPRECOND): deep
+    poorly-lit cells get boosted relative to the shallow src/rcv
+    band, and the injected VJP reflects it."""
+    base = get_workload("marmousi_elastic", **SMALL_EL).replace(
+        name="t_illum", save_dir="/tmp/fwi_test_ck", tether_weight=0.0,
+        grad_depth_power=0.0, grad_rescale="none", grad_scale=1.0)
+    eng0 = create_engine(base)
+    eng1 = create_engine(base.replace(grad_illum_eps=0.05))
+    assert eng0._ilw is None and eng1._ilw is not None
+    m = jnp.stack([eng1.wl.start["vp"], eng1.wl.start["vs"]], -1)
+    idx = jnp.arange(2)
+    pd = dict(eng1._stage_pack(0.0), fw=jnp.asarray([1.0, 1.0]),
+              tw=jnp.float32(0.0), lowf_m=eng1.lowf[0])
+    g0 = jax.grad(lambda mm: eng0._make_physics_loss()(mm, idx, pd))(m)
+    g1 = jax.grad(lambda mm: eng1._make_physics_loss()(
+        mm, idx, dict(pd, ilw=eng1._ilw)))(m)
+    ratio = np.asarray(jnp.abs(g1[..., 0]) / (jnp.abs(g0[..., 0]) + 1e-30))
+    ilw = np.asarray(eng1._ilw)
+    # the applied weight IS the illumination reciprocal, cell for cell
+    mask = np.abs(np.asarray(g0[..., 0])) > 1e-12
+    np.testing.assert_allclose(ratio[mask], ilw[mask], rtol=1e-3)
+    # deep rows (dim illumination) are boosted vs the source row
+    assert ilw[-1].mean() > 2.0 * ilw[SMALL_EL["water_rows"] + 1].mean()
+    # and a real training epoch still runs finite
+    r = eng1.optimize_parameters(1, freq=12.0)
+    assert np.isfinite(r["loss_D_MSE"])
+
+
 def test_elastic_lstart_warmup_then_physics():
     """epoch <= lstart trains the pure low-frequency anchor (the
     reference's loss_G = loss_L_MSE phase); physics starts after
