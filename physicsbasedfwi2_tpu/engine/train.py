@@ -292,6 +292,14 @@ def main(argv=None):
     p.add_argument("--start-epoch", type=int, default=1)
     p.add_argument("--profile-dir", default=None)
     p.add_argument("--profile-epochs", type=int, default=2)
+    p.add_argument("--set", action="append", default=[],
+                   metavar="FIELD=VALUE", dest="set_fields",
+                   help="override any ExperimentConfig field (the "
+                        "reference exposed every option through its "
+                        "three-stage argparse, base_options.py:20-57); "
+                        "values parse as python literals, e.g. "
+                        "--set tether_weight=0.5 "
+                        "--set 'freq_stages=(4.0,8.0)'")
     args = p.parse_args(argv)
 
     overrides = {}
@@ -303,6 +311,18 @@ def main(argv=None):
         overrides["save_dir"] = args.save_dir
     if args.dataroot:
         overrides["dataroot"] = args.dataroot
+    import ast
+    import dataclasses
+    field_names = {f.name for f in dataclasses.fields(ExperimentConfig)}
+    for kv in args.set_fields:
+        k, sep, v = kv.partition("=")
+        k = k.strip()
+        if not sep or k not in field_names:
+            p.error(f"--set {kv!r}: unknown config field {k!r}")
+        try:
+            overrides[k] = ast.literal_eval(v)
+        except (ValueError, SyntaxError):
+            overrides[k] = v  # bare strings (e.g. misfit=tnl1)
     cfg = get_workload(args.workload, **overrides)
     if args.name:
         cfg = cfg.replace(name=args.name)
