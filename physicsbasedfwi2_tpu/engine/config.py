@@ -279,6 +279,30 @@ def list_workloads() -> list[str]:
     return sorted(_WORKLOADS)
 
 
+def parse_set_overrides(pairs) -> dict:
+    """Parse CLI ``--set FIELD=VALUE`` pairs into config overrides.
+
+    Values parse as python literals (``--set 'freq_stages=(4.0,8.0)'``)
+    with a bare-string fallback (``--set misfit=tnl1``).  The
+    reference exposed every option through its three-stage argparse
+    (base_options.py:20-57); this is the registry-equivalent.
+    Raises ValueError on unknown field names."""
+    import ast
+    import dataclasses
+    field_names = {f.name for f in dataclasses.fields(ExperimentConfig)}
+    out = {}
+    for kv in pairs:
+        k, sep, v = kv.partition("=")
+        k = k.strip()
+        if not sep or k not in field_names:
+            raise ValueError(f"--set {kv!r}: unknown config field {k!r}")
+        try:
+            out[k] = ast.literal_eval(v)
+        except (ValueError, SyntaxError):
+            out[k] = v
+    return out
+
+
 # --- BASELINE.json config 1/2: Marmousi acoustic DIP ---------------------
 register_workload("marmousi_acoustic", ExperimentConfig(
     engine="acoustic_dip", netG="Auto22",

@@ -56,13 +56,25 @@ def main(argv=None):
     p.add_argument("--realization", type=int, default=1)
     p.add_argument("--results-dir", default="./results")
     p.add_argument("--save-dir", default=None)
+    p.add_argument("--dataroot", default=None)
     p.add_argument("--small", action="store_true")
+    p.add_argument("--set", action="append", default=[],
+                   metavar="FIELD=VALUE", dest="set_fields",
+                   help="override any ExperimentConfig field "
+                        "(see fwi-train --set)")
     args = p.parse_args(argv)
-    cfg = get_workload(args.workload)
+    from physicsbasedfwi2_tpu.engine.config import parse_set_overrides
+    try:
+        overrides = parse_set_overrides(args.set_fields)
+    except ValueError as e:
+        p.error(str(e))
+    cfg = get_workload(args.workload, **overrides)
     if args.name:
         cfg = cfg.replace(name=args.name)
     if args.save_dir:
         cfg = cfg.replace(save_dir=args.save_dir)
+    if args.dataroot:
+        cfg = cfg.replace(dataroot=args.dataroot)
     if args.small:
         cfg = cfg.replace(nz=48, nx=64, nt=300, num_shots=4,
                           num_receivers=32, filters=(4, 8, 16),

@@ -311,18 +311,11 @@ def main(argv=None):
         overrides["save_dir"] = args.save_dir
     if args.dataroot:
         overrides["dataroot"] = args.dataroot
-    import ast
-    import dataclasses
-    field_names = {f.name for f in dataclasses.fields(ExperimentConfig)}
-    for kv in args.set_fields:
-        k, sep, v = kv.partition("=")
-        k = k.strip()
-        if not sep or k not in field_names:
-            p.error(f"--set {kv!r}: unknown config field {k!r}")
-        try:
-            overrides[k] = ast.literal_eval(v)
-        except (ValueError, SyntaxError):
-            overrides[k] = v  # bare strings (e.g. misfit=tnl1)
+    from physicsbasedfwi2_tpu.engine.config import parse_set_overrides
+    try:
+        overrides.update(parse_set_overrides(args.set_fields))
+    except ValueError as e:
+        p.error(str(e))
     cfg = get_workload(args.workload, **overrides)
     if args.name:
         cfg = cfg.replace(name=args.name)
