@@ -35,6 +35,24 @@ def test_workload_registry():
         assert required in names, required
 
 
+def test_parse_set_overrides():
+    """fwi-train/--set generic overrides: python literals, bare-string
+    fallback, unknown-field rejection (the reference's three-stage
+    argparse exposed every option, base_options.py:20-57)."""
+    from physicsbasedfwi2_tpu.engine.config import parse_set_overrides
+    out = parse_set_overrides(["tether_weight=0.5",
+                               "freq_stages=(4.0, 8.0)",
+                               "misfit=tnl1", "lstart=10"])
+    assert out == {"tether_weight": 0.5, "freq_stages": (4.0, 8.0),
+                   "misfit": "tnl1", "lstart": 10}
+    cfg = get_workload("marmousi_elastic", **out)
+    assert cfg.misfit == "tnl1" and cfg.freq_stages == (4.0, 8.0)
+    with pytest.raises(ValueError, match="unknown config field"):
+        parse_set_overrides(["nosuch=1"])
+    with pytest.raises(ValueError, match="unknown config field"):
+        parse_set_overrides(["justastring"])
+
+
 def test_acoustic_dip_engine_trains():
     cfg = get_workload("marmousi_acoustic", **SMALL_AC).replace(
         name="t_ac", save_dir="/tmp/fwi_test_ck", lstart=0)
