@@ -158,7 +158,11 @@ class ExperimentConfig:
                                         # (ops/elastic_fast.py
                                         # elastic_illumination) — the
                                         # physics-informed version of
-                                        # grad_depth_power's z^2 ramp.
+                                        # grad_depth_power's z^2 ramp,
+                                        # which it REPLACES when
+                                        # enabled (the engine skips
+                                        # the ramp — applying both
+                                        # would compound ~z^p/eps).
                                         # eps bounds the boost of
                                         # never-illuminated cells
                                         # (1/eps max amplification).
@@ -269,10 +273,12 @@ def register_workload(name: str, cfg: ExperimentConfig):
     _WORKLOADS[name.lower()] = cfg
 
 
-def get_workload(name: str, **overrides) -> ExperimentConfig:
-    cfg = _WORKLOADS[name.lower()]
-    return cfg.replace(name=name, **overrides) if overrides else \
-        cfg.replace(name=name)
+def get_workload(workload: str, **overrides) -> ExperimentConfig:
+    cfg = _WORKLOADS[workload.lower()]
+    # an explicit name override (e.g. --set name=myrun) wins over the
+    # registry-key default run name
+    overrides.setdefault("name", workload)
+    return cfg.replace(**overrides)
 
 
 def list_workloads() -> list[str]:
@@ -293,7 +299,7 @@ def parse_set_overrides(pairs) -> dict:
     out = {}
     for kv in pairs:
         k, sep, v = kv.partition("=")
-        k = k.strip()
+        k, v = k.strip(), v.strip()
         if not sep or k not in field_names:
             raise ValueError(f"--set {kv!r}: unknown config field {k!r}")
         try:

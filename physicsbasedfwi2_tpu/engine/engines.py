@@ -891,22 +891,27 @@ class ElasticDIPEngine(EngineBase):
         self.clip_max = tuple(
             cfg.clip_max or (4700.0, 2700.0, 3000.0))[: self.n_fields]
         self.lr_policy = LrPolicy(cfg) if cfg.optimizer == "adam" else None
-        self._ilw = None
-        if cfg.grad_illum_eps > 0:
-            # DENISE EPRECOND: reciprocal source-illumination weight,
-            # computed ONCE from the starting model over all shots
+        self._ilw = None  # lazy: see _illum_weight()
+        self._rng = jax.random.PRNGKey(cfg.seed + 7)
+        self._step_cache = {}
+        self._stage_cache = {}
+        self._phase_reset_done = False
+
+    def _illum_weight(self):
+        """DENISE EPRECOND: reciprocal source-illumination weight,
+        computed ONCE from the starting model over all shots — lazily
+        on the first training step, so evaluation-only engine builds
+        (fwi-test) never pay the full-geometry forward sweep."""
+        if self._ilw is None:
             from physicsbasedfwi2_tpu.ops.elastic_fast import (
                 elastic_illumination)
-            wl = self.wl
+            wl, cfg = self.wl, self.cfg
             il = elastic_illumination(
                 wl.start["vp"], wl.start["vs"], wl.start["rho"],
                 wl.wavelet, wl.geom[0], wl.geom[1], wl.cfg)
             il = il / jnp.max(il)
             self._ilw = 1.0 / (il + cfg.grad_illum_eps)
-        self._rng = jax.random.PRNGKey(cfg.seed + 7)
-        self._step_cache = {}
-        self._stage_cache = {}
-        self._phase_reset_done = False
+        return self._ilw
 
     def _stage_data(self, fc):
         """Per-stage (wavelet_fc, obs_vx_fc, obs_vz_fc), cached.
@@ -1149,7 +1154,11 @@ class ElasticDIPEngine(EngineBase):
                     g = g * pd["ilw"]
                 if cfg.grad_smooth > 0:
                     g = smooth_spatial(g, cfg.grad_smooth)
-                if cfg.grad_depth_power > 0:
+                if cfg.grad_depth_power > 0 and cfg.grad_illum_eps <= 0:
+                    # the illumination weight REPLACES the crude z^p
+                    # ramp (DENISE applies EPRECOND instead of, not on
+                    # top of, simple depth preconditioning) — applying
+                    # both would boost deep cells by ~z^p/eps
                     g = depth_weighting(g, cfg.grad_depth_power)
                 if cfg.grad_rescale == "max":
                     g = rescale_to_model(g, m[..., k])
@@ -1302,8 +1311,8 @@ class ElasticDIPEngine(EngineBase):
                     fw=jnp.asarray(self._field_weights(epoch),
                                    jnp.float32),
                     tw=jnp.float32(tw), lowf_m=self.lowf[0])
-        if self._ilw is not None:
-            phys["ilw"] = self._ilw
+        if cfg.grad_illum_eps > 0:
+            phys["ilw"] = self._illum_weight()
         pack = {"in_vx": self.in_vx, "in_vz": self.in_vz,
                 "lowf": self.lowf, "true_m": self.true_m,
                 "phys": phys}

@@ -64,17 +64,20 @@ def main(argv=None):
                         "(see fwi-train --set)")
     args = p.parse_args(argv)
     from physicsbasedfwi2_tpu.engine.config import parse_set_overrides
+    # same precedence as fwi-train: dedicated flags first, then --set
+    # overrides win, then --name last
+    overrides = {}
+    if args.save_dir:
+        overrides["save_dir"] = args.save_dir
+    if args.dataroot:
+        overrides["dataroot"] = args.dataroot
     try:
-        overrides = parse_set_overrides(args.set_fields)
+        overrides.update(parse_set_overrides(args.set_fields))
     except ValueError as e:
         p.error(str(e))
     cfg = get_workload(args.workload, **overrides)
     if args.name:
         cfg = cfg.replace(name=args.name)
-    if args.save_dir:
-        cfg = cfg.replace(save_dir=args.save_dir)
-    if args.dataroot:
-        cfg = cfg.replace(dataroot=args.dataroot)
     if args.small:
         cfg = cfg.replace(nz=48, nx=64, nt=300, num_shots=4,
                           num_receivers=32, filters=(4, 8, 16),

@@ -43,18 +43,23 @@ def _sponge(cfg: ElasticConfig):
     return jnp.exp(-(sz[:, None] + sx[None, :]) * g.dt)
 
 
-def _single_shot_fast(med, damp, free_surface, wavelet, src_z, src_x,
-                      rcv_z, rcv_x, cfg: ElasticConfig):
+def _virieux_step(med, damp, free_surface, src_z, src_x,
+                  cfg: ElasticConfig):
+    """Build the single Virieux P-SV velocity-stress time step.
+
+    Shared by the inversion propagator (:func:`_single_shot_fast`)
+    and the EPRECOND illumination map (:func:`elastic_illumination`)
+    so the preconditioner is guaranteed to use the SAME operator as
+    the gradient it divides: any change to the staggering, sponge or
+    free-surface treatment propagates to both."""
     g = cfg.grid
     dt, inv_dx, order = g.dt, 1.0 / g.dx, cfg.order
     lam, mu, mu_xz, bx, bz = med
     lam2mu = lam + 2.0 * mu
-    nz, nx = lam.shape
-    zeros = jnp.zeros((nz, nx), jnp.float32)
     src_gain = dt * inv_dx * inv_dx * lam2mu[src_z, src_x]
 
-    def step(carry, amp_t):
-        vx, vz, sxx, szz, sxz = carry
+    def step(fields, amp_t):
+        vx, vz, sxx, szz, sxz = fields
         vx = damp * (vx + dt * bx * (dx_fwd(sxx, inv_dx, order)
                                      + dz_bwd(sxz, inv_dx, order)))
         vz = damp * (vz + dt * bz * (dx_bwd(sxz, inv_dx, order)
@@ -70,8 +75,21 @@ def _single_shot_fast(med, damp, free_surface, wavelet, src_z, src_x,
         szz = szz.at[src_z, src_x].add(amp)
         if free_surface:
             szz = szz.at[0, :].set(0.0)
-        return (vx, vz, sxx, szz, sxz), (vx[rcv_z, rcv_x],
-                                         vz[rcv_z, rcv_x])
+        return (vx, vz, sxx, szz, sxz)
+
+    return step
+
+
+def _single_shot_fast(med, damp, free_surface, wavelet, src_z, src_x,
+                      rcv_z, rcv_x, cfg: ElasticConfig):
+    nz, nx = med[0].shape
+    zeros = jnp.zeros((nz, nx), jnp.float32)
+    vstep = _virieux_step(med, damp, free_surface, src_z, src_x, cfg)
+
+    def step(carry, amp_t):
+        fields = vstep(carry, amp_t)
+        vx, vz = fields[0], fields[1]
+        return fields, (vx[rcv_z, rcv_x], vz[rcv_z, rcv_x])
 
     carry = tuple(zeros for _ in range(5))
     _, (rvx, rvz) = chunked_checkpoint_scan(step, carry, wavelet,
@@ -106,36 +124,18 @@ def elastic_illumination(vp, vs, rho, wavelet, src_z, src_x,
     if wavelet.ndim == 1:
         wavelet = jnp.broadcast_to(wavelet[None, :],
                                    (src_z.shape[0],) + wavelet.shape)
-    lam, mu, mu_xz, bx, bz = med
-    lam2mu = lam + 2.0 * mu
-    dt, inv_dx, order = g.dt, 1.0 / g.dx, cfg.order
-    nz, nx = lam.shape
+    nz, nx = med[0].shape
     zeros = jnp.zeros((nz, nx), jnp.float32)
     free_surface = g.free_surface
 
     def one_shot(wav, sz, sx):
-        src_gain = dt * inv_dx * inv_dx * lam2mu[sz, sx]
+        vstep = _virieux_step(med, damp, free_surface, sz, sx, cfg)
 
         def step(carry, amp_t):
-            vx, vz, sxx, szz, sxz, acc = carry
-            vx = damp * (vx + dt * bx * (dx_fwd(sxx, inv_dx, order)
-                                         + dz_bwd(sxz, inv_dx, order)))
-            vz = damp * (vz + dt * bz * (dx_bwd(sxz, inv_dx, order)
-                                         + dz_fwd(szz, inv_dx, order)))
-            dvxdx = dx_bwd(vx, inv_dx, order)
-            dvzdz = dz_bwd(vz, inv_dx, order)
-            sxx = damp * (sxx + dt * (lam2mu * dvxdx + lam * dvzdz))
-            szz = damp * (szz + dt * (lam * dvxdx + lam2mu * dvzdz))
-            sxz = damp * (sxz + dt * mu_xz * (dx_fwd(vz, inv_dx, order)
-                                              + dz_fwd(vx, inv_dx,
-                                                       order)))
-            amp = amp_t * src_gain
-            sxx = sxx.at[sz, sx].add(amp)
-            szz = szz.at[sz, sx].add(amp)
-            if free_surface:
-                szz = szz.at[0, :].set(0.0)
-            acc = acc + vx * vx + vz * vz
-            return (vx, vz, sxx, szz, sxz, acc), None
+            fields = vstep(carry[:5], amp_t)
+            vx, vz = fields[0], fields[1]
+            acc = carry[5] + vx * vx + vz * vz
+            return fields + (acc,), None
 
         carry = tuple(zeros for _ in range(5)) + (zeros,)
         final_carry, _ = jax.lax.scan(step, carry, wav)

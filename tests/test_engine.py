@@ -51,6 +51,13 @@ def test_parse_set_overrides():
         parse_set_overrides(["nosuch=1"])
     with pytest.raises(ValueError, match="unknown config field"):
         parse_set_overrides(["justastring"])
+    # whitespace around the value must not survive into the config
+    # (a padded misfit string would silently fall through every
+    # `cfg.misfit == 'tnl1'` check to the plain-L2 path)
+    assert parse_set_overrides(["misfit= tnl1 "]) == {"misfit": "tnl1"}
+    # `name` is a config field like any other — get_workload must not
+    # double-pass it
+    assert get_workload("marmousi_elastic", name="myrun").name == "myrun"
 
 
 def test_acoustic_dip_engine_trains():
@@ -585,21 +592,32 @@ def test_elastic_illumination_preconditioning():
         grad_depth_power=0.0, grad_rescale="none", grad_scale=1.0)
     eng0 = create_engine(base)
     eng1 = create_engine(base.replace(grad_illum_eps=0.05))
-    assert eng0._ilw is None and eng1._ilw is not None
+    # the map is lazy: engine construction (e.g. fwi-test) never pays
+    # the all-shot forward sweep
+    assert eng0._ilw is None and eng1._ilw is None
+    ilw_dev = eng1._illum_weight()
+    assert eng1._ilw is not None
     m = jnp.stack([eng1.wl.start["vp"], eng1.wl.start["vs"]], -1)
     idx = jnp.arange(2)
     pd = dict(eng1._stage_pack(0.0), fw=jnp.asarray([1.0, 1.0]),
               tw=jnp.float32(0.0), lowf_m=eng1.lowf[0])
     g0 = jax.grad(lambda mm: eng0._make_physics_loss()(mm, idx, pd))(m)
     g1 = jax.grad(lambda mm: eng1._make_physics_loss()(
-        mm, idx, dict(pd, ilw=eng1._ilw)))(m)
+        mm, idx, dict(pd, ilw=ilw_dev)))(m)
     ratio = np.asarray(jnp.abs(g1[..., 0]) / (jnp.abs(g0[..., 0]) + 1e-30))
-    ilw = np.asarray(eng1._ilw)
+    ilw = np.asarray(ilw_dev)
     # the applied weight IS the illumination reciprocal, cell for cell
     mask = np.abs(np.asarray(g0[..., 0])) > 1e-12
     np.testing.assert_allclose(ratio[mask], ilw[mask], rtol=1e-3)
     # deep rows (dim illumination) are boosted vs the source row
     assert ilw[-1].mean() > 2.0 * ilw[SMALL_EL["water_rows"] + 1].mean()
+    # EPRECOND REPLACES the z^p ramp: enabling both must match the
+    # illum-only gradient (no compounded ~z^p/eps deep boost)
+    eng2 = create_engine(base.replace(grad_illum_eps=0.05,
+                                      grad_depth_power=2.0))
+    g2 = jax.grad(lambda mm: eng2._make_physics_loss()(
+        mm, idx, dict(pd, ilw=ilw_dev)))(m)
+    np.testing.assert_allclose(np.asarray(g2), np.asarray(g1), rtol=1e-6)
     # and a real training epoch still runs finite
     r = eng1.optimize_parameters(1, freq=12.0)
     assert np.isfinite(r["loss_D_MSE"])
