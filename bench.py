@@ -196,7 +196,34 @@ def run_elastic(scheme: str = "fast"):
 ELASTIC_R1_XLA_PML = 0.52  # s/gradient, round-1 split-PML XLA path
 
 
+def _probe_devices(timeout_s: float = 180.0) -> None:
+    """Fail fast if device init would hang (e.g. the remote-TPU
+    tunnel is down: jax.devices() then blocks forever, which would
+    stall the whole bench harness).  Probes in a subprocess so the
+    hang is bounded; raises RuntimeError on timeout/failure."""
+    import subprocess
+    # sitecustomize re-exports JAX_PLATFORMS=axon into every child, so
+    # an env-var override never reaches the probe; honor an explicit
+    # one through jax.config (used by tests / CPU dev boxes).
+    child = ("import os, jax\n"
+             "p = os.environ.get('BENCH_PROBE_PLATFORMS')\n"
+             "if p: jax.config.update('jax_platforms', p)\n"
+             "jax.devices()\n")
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c", child],
+            timeout=timeout_s, capture_output=True, text=True)
+    except subprocess.TimeoutExpired:
+        raise RuntimeError(
+            f"device init did not complete in {timeout_s:.0f}s "
+            "(remote-TPU tunnel down?)")
+    if r.returncode != 0:
+        raise RuntimeError(
+            f"device init failed: {r.stderr.strip()[-500:]}")
+
+
 def main():
+    _probe_devices()
     on_tpu = jax.devices()[0].platform == "tpu"
     backend = "pallas" if on_tpu else "xla"
     try:
