@@ -270,3 +270,33 @@ def test_su_native_reader_matches_numpy(tmp_path):
         nat, dt_n = native_su.read_su_native(str(p))
         np.testing.assert_array_equal(nat, d)
         assert abs(dt_n - 750e-6) < 1e-12
+
+
+def test_marmousi_segy_roundtrip(tmp_path):
+    """Canonical Marmousi builder -> SEG-Y (IBM and IEEE) ->
+    prep.read_segy_grid recovers the grid (the dataroots/ pipeline,
+    reference datasets/ download+prep role)."""
+    from physicsbasedfwi2_tpu.data.marmousi import (
+        canonical_marmousi_vp, write_segy_grid)
+    from physicsbasedfwi2_tpu.data.prep import read_segy_grid
+
+    vp = canonical_marmousi_vp(96, 120)
+    # structural sanity: water on top, compaction trend below, and a
+    # genuinely 2D (faulted/dipping) section
+    assert vp.shape == (96, 120)
+    assert np.all(vp[:20] == 1500.0)
+    assert vp[-1].mean() > 2.0 * vp[30].mean() - 1500.0
+    assert np.abs(np.diff(vp[60])).max() > 100.0  # lateral structure
+    for fmt, tol in ((5, 0.0), (1, 1e-6)):
+        p = str(tmp_path / f"m{fmt}.segy")
+        write_segy_grid(p, vp, fmt=fmt)
+        back = read_segy_grid(p)
+        assert back.shape == vp.shape
+        np.testing.assert_allclose(back, vp, rtol=tol, atol=0)
+
+
+def test_marmousi_builder_deterministic():
+    from physicsbasedfwi2_tpu.data.marmousi import canonical_marmousi_vp
+    a = canonical_marmousi_vp(64, 80, seed=7)
+    b = canonical_marmousi_vp(64, 80, seed=7)
+    np.testing.assert_array_equal(a, b)
