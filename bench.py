@@ -294,6 +294,31 @@ def main():
         print(f"[bench] end-to-end engine bench skipped "
               f"({type(e).__name__}: {e})", file=sys.stderr)
 
+    # end-to-end ELASTIC engine iteration at BASELINE config 3 (net
+    # fwd/bwd + fused elastic gradient + conditioning chain incl.
+    # tether/EPRECOND as configured + Adam + logged scalars — the
+    # round-3+ default iteration VERDICT r3 asked to be measured)
+    try:
+        from benchmarks.bench_configs import bench_one
+        r = bench_one("marmousi_elastic", iters=5)
+        dt_e2e = r["seconds_per_iteration"]
+        print(json.dumps({
+            "metric": "marmousi_elastic_engine_iteration_end_to_end",
+            "value": dt_e2e,
+            "path": r.get("path", "unknown"),
+            "unit": "s",
+            "vs_baseline": round(ELASTIC_R1_XLA_PML / dt_e2e, 2),
+            "baseline": "round-1 split-PML XLA gradient alone "
+                        "(0.52 s) — the reference preserved no DENISE "
+                        "end-to-end wall-clocks",
+            "workload": "marmousi_elastic default iteration: 5-shot "
+                        "fused gradient + taper/depth/tether "
+                        "conditioning + decoder fwd/bwd + Adam",
+        }), flush=True)
+    except Exception as e:
+        print(f"[bench] elastic end-to-end engine bench skipped "
+              f"({type(e).__name__}: {e})", file=sys.stderr)
+
 
 if __name__ == "__main__":
     main()

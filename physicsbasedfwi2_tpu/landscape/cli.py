@@ -48,6 +48,13 @@ def main(argv=None):
     p.add_argument("--out", default="./results/landscape")
     p.add_argument("--save-dir", default="./checkpoints")
     p.add_argument("--small", action="store_true")
+    p.add_argument("--trajectory", default=None, metavar="CKPT_DIR",
+                   help="directory of epoch-tagged *_net_G.npz "
+                        "checkpoints: compute the surface in the "
+                        "trajectory's top-2 PCA plane centered on "
+                        "the final checkpoint and overlay the "
+                        "projected path (reference plot_trajectory."
+                        "py + projection.py)")
     args = p.parse_args(argv)
 
     import jax.numpy as jnp
@@ -109,12 +116,42 @@ def main(argv=None):
                              - data["obs_norm"]) ** 2)
 
     xs, ys = _parse_range(args.x), _parse_range(args.y)
+    traj_coords = epoch_tags = None
+    d1 = d2 = None
+    if args.trajectory:
+        from physicsbasedfwi2_tpu.landscape.projection import (
+            trajectory_pca, unflatten_like, load_checkpoint_series)
+        import jax as _jax
+        epoch_tags, series = load_checkpoint_series(args.trajectory,
+                                                    eng.params)
+        coords, explained, comps = trajectory_pca(series)
+        print(f"[trajectory] {len(series)} checkpoints "
+              f"(epochs {epoch_tags[0]}..{epoch_tags[-1]}), PCA "
+              f"explained ratio {explained[0]:.2f}/{explained[1]:.2f}")
+        # surface in the PCA plane, centered on the FINAL checkpoint
+        # (the reference's plot_surface --dir_file=PCA convention)
+        eng.params = _jax.tree_util.tree_map(jnp.asarray, series[-1])
+        d1 = unflatten_like(comps[0], eng.params)
+        d2 = unflatten_like(comps[1], eng.params)
+        traj_coords = coords
+        # default ranges hug the trajectory extent (20% margin)
+        if args.x == "-1:1:11" and args.y == "-1:1:11":
+            pad = 0.2
+            sx = max(1e-8, coords[:, 0].max() - coords[:, 0].min())
+            sy = max(1e-8, coords[:, 1].max() - coords[:, 1].min())
+            xs = np.linspace(coords[:, 0].min() - pad * sx,
+                             coords[:, 0].max() + pad * sx, len(xs))
+            ys = np.linspace(coords[:, 1].min() - pad * sy,
+                             coords[:, 1].max() + pad * sy, len(ys))
     surf, d1, d2 = loss_surface_2d(physics_loss, eng.params,
                                    xs=xs, ys=ys, norm=args.norm,
-                                   data=data)
+                                   d1=d1, d2=d2, data=data)
     os.makedirs(args.out, exist_ok=True)
+    extra = ({"traj_coords": traj_coords,
+              "traj_epochs": np.asarray(epoch_tags)}
+             if traj_coords is not None else {})
     np.savez(os.path.join(args.out, f"{args.name}_surface.npz"),
-             losses=surf, xs=xs, ys=ys)
+             losses=surf, xs=xs, ys=ys, **extra)
     if args.h5:
         # reference surface-file layout (plot_surface2.py stores
         # xcoordinates/ycoordinates + a <surf_name> dataset that
@@ -138,8 +175,18 @@ def main(argv=None):
         fig, ax = plt.subplots(figsize=(5, 4))
         cs = ax.contourf(xs, ys, np.log10(surf + 1e-20), levels=20)
         fig.colorbar(cs, ax=ax, label="log10 loss")
-        ax.set_xlabel("d1")
-        ax.set_ylabel("d2")
+        if traj_coords is not None:
+            ax.plot(traj_coords[:, 0], traj_coords[:, 1], "w.-",
+                    lw=1.2, ms=4)
+            ax.annotate(str(epoch_tags[0]), traj_coords[0],
+                        color="w", fontsize=8)
+            ax.annotate(str(epoch_tags[-1]), traj_coords[-1],
+                        color="w", fontsize=8)
+            ax.set_xlabel("PCA 1")
+            ax.set_ylabel("PCA 2")
+        else:
+            ax.set_xlabel("d1")
+            ax.set_ylabel("d2")
         fig.tight_layout()
         fig.savefig(os.path.join(args.out, f"{args.name}_surface.png"),
                     dpi=110)

@@ -154,3 +154,44 @@ def test_vtp_export_geometry(tmp_path):
         sep=" ")
     np.testing.assert_allclose(cell, want_z[conn].mean(axis=1),
                                rtol=1e-6)
+
+
+def test_landscape_cli_trajectory(tmp_path):
+    """--trajectory consumes an epoch-tagged checkpoint series, plots
+    the PCA-projected path over the surface and stores the projected
+    coordinates (reference plot_trajectory.py + projection.py)."""
+    import json
+    import io
+    import os
+    from contextlib import redirect_stdout
+    from physicsbasedfwi2_tpu.landscape.cli import main
+    from physicsbasedfwi2_tpu.engine import get_workload, create_engine
+
+    # build a small checkpoint series by perturbing a fresh engine
+    cfg = get_workload("marmousi_acoustic").replace(
+        nz=48, nx=64, nt=300, num_shots=4, num_receivers=32,
+        filters=(4, 8, 16), chunk=25, water_rows=6,
+        save_dir=str(tmp_path), name="traj_run")
+    eng = create_engine(cfg)
+    import jax
+    base = eng.params
+    for i, tag in enumerate((10, 20, 30, 40)):
+        eng.params = jax.tree_util.tree_map(
+            lambda w: w * (1.0 + 0.02 * i) + 0.001 * i, base)
+        eng.save_networks(tag)
+    ckpt_dir = os.path.join(str(tmp_path), "traj_run")
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        main(["--workload", "marmousi_acoustic", "--small",
+              "--name", "traj", "--out", str(tmp_path),
+              "--trajectory", ckpt_dir])
+    out = json.loads(buf.getvalue().strip().splitlines()[-1])
+    assert np.isfinite(out["min"])
+    with np.load(tmp_path / "traj_surface.npz") as z:
+        assert z["traj_coords"].shape == (4, 2)
+        assert list(z["traj_epochs"]) == [10, 20, 30, 40]
+        # final checkpoint is the PCA center
+        np.testing.assert_allclose(z["traj_coords"][-1], 0.0,
+                                   atol=1e-3)
+    assert os.path.exists(tmp_path / "traj_surface.png")
