@@ -116,6 +116,53 @@ def canonical_marmousi_vp(nz: int = 751, nx: int = 2301, *,
     return np.clip(vp, 1500.0, 4700.0).astype(np.float32)
 
 
+def canonical_seam_vp(nz: int = 600, nx: int = 1620, *,
+                      seed: int = 2011,
+                      water_frac: float = 0.167) -> np.ndarray:
+    """Deterministic SEAM-Phase-I-structured vp slice [nz, nx] in m/s.
+
+    The reference's SEAM workload crops a 120 x 324 @ 30 m slice
+    (networks.py:9637-9700: 5 Hz, sources at 180 m, receivers at
+    690 m).  SEAM's defining architecture: a deep-water marine
+    setting over gently-dipping Tertiary sediments pierced by a large
+    salt body (vp ~4480 m/s) with steep flanks and a salt overhang,
+    plus sub-salt sediment inversions.  water_frac 0.167 puts the
+    seabed at row 20 of the 120-row training grid (the workload's
+    water_rows=20)."""
+    rng = np.random.default_rng(seed)
+    z = np.arange(nz, dtype=np.float64)[:, None]
+    x = np.arange(nx, dtype=np.float64)[None, :]
+    zw = water_frac * nz
+    sed = nz - zw
+    # gently dipping background sediments with compaction trend
+    s = (z - zw) / sed + 0.06 * (x / nx - 0.5)
+    for k, amp in ((1, 0.02), (3, 0.012), (7, 0.006)):
+        s = s + amp * np.sin(2 * np.pi * k * x / nx
+                             + rng.uniform(0, 2 * np.pi))
+    n_layers = 24
+    tops = np.concatenate([[0.0],
+                           np.sort(rng.uniform(0.0, 1.0, n_layers - 1))])
+    base = 1700.0 + 2100.0 * tops ** 1.2
+    fluct = rng.uniform(60.0, 220.0, n_layers) * \
+        np.where(np.arange(n_layers) % 2 == 0, 1.0, -1.0)
+    layer_v = np.clip(base + fluct, 1600.0, 4300.0)
+    idx = np.clip(np.searchsorted(tops, np.clip(s, 0.0, 1.0),
+                                  side="right") - 1, 0, n_layers - 1)
+    vp = layer_v[idx]
+    # salt body: stem + overhang (vp 4480, SEAM's constant salt)
+    xc, top = 0.58, zw + 0.18 * sed
+    half_w = (0.06 + 0.22 * np.clip((z - top) / (0.5 * sed), 0, 1)
+              # overhang bulge near the top third
+              + 0.10 * np.exp(-(((z - (top + 0.22 * sed))
+                                 / (0.08 * sed)) ** 2)))
+    in_salt = (np.abs(x / nx - xc) < half_w) & (z > top)
+    vp = np.where(in_salt, 4480.0, vp)
+    # water + seabed transition
+    vp = np.where(z < zw, 1490.0, vp)
+    vp = np.where((z >= zw) & (z < zw + 0.008 * nz), 1560.0, vp)
+    return np.clip(vp, 1490.0, 4480.0).astype(np.float32)
+
+
 # ---------------------------------------------------------------------------
 # SEG-Y writer (the counterpart of data/prep.py::read_segy_grid)
 # ---------------------------------------------------------------------------
@@ -174,16 +221,23 @@ def write_segy_grid(path: str, m: np.ndarray, *, dx: float = 4.0,
 def main(argv=None):
     import argparse
     p = argparse.ArgumentParser(
-        description="Build the canonical-grid Marmousi-structured "
-                    "velocity model and write it as SEG-Y")
+        description="Build a canonical-grid Marmousi- or SEAM-"
+                    "structured velocity model and write it as SEG-Y")
     p.add_argument("--out", required=True, help="output .segy path")
-    p.add_argument("--nz", type=int, default=751)
-    p.add_argument("--nx", type=int, default=2301)
+    p.add_argument("--model", default="marmousi",
+                   choices=("marmousi", "seam"))
+    p.add_argument("--nz", type=int, default=None)
+    p.add_argument("--nx", type=int, default=None)
     p.add_argument("--fmt", type=int, default=5, choices=(1, 5),
                    help="sample format: 5=IEEE (default), 1=IBM")
-    p.add_argument("--seed", type=int, default=1988)
+    p.add_argument("--seed", type=int, default=None)
     args = p.parse_args(argv)
-    vp = canonical_marmousi_vp(args.nz, args.nx, seed=args.seed)
+    if args.model == "seam":
+        vp = canonical_seam_vp(args.nz or 600, args.nx or 1620,
+                               seed=args.seed or 2011)
+    else:
+        vp = canonical_marmousi_vp(args.nz or 751, args.nx or 2301,
+                                   seed=args.seed or 1988)
     write_segy_grid(args.out, vp, fmt=args.fmt)
     print(f"wrote {args.out}: {vp.shape[0]}x{vp.shape[1]} vp in "
           f"[{vp.min():.0f}, {vp.max():.0f}] m/s (fmt={args.fmt})")

@@ -192,11 +192,22 @@ def prepare_elastic_tree(vp: np.ndarray, out_root: str, *,
                          pml_width: int = 20, water_rows: int = 26,
                          chunk: int = 64, vpvs: float = 1.8,
                          free_surface: bool = True,
-                         smooth_iters: int = 40):
+                         smooth_iters: int = 40,
+                         src_depth_row: int | None = None,
+                         rcv_depth_row: int | None = None,
+                         rcv_follow_seabed: bool = False):
     """vp [nz, nx] -> unalignedVelABCDEl npy tree (A/D = vx/vz
     gathers, B = [Vp;Vs;Rho]/100, C = low-freq triple /100 — the
     reference's hectometer storage units,
-    unalignedVelABCDEl_dataset.py:84-87)."""
+    unalignedVelABCDEl_dataset.py:84-87).
+
+    src_depth_row / rcv_depth_row / rcv_follow_seabed mirror the
+    engine's acquisition extras (SEAM: sources at row 6, receivers at
+    row 23, networks.py:9688-9712) so a prepped SEAM tree carries
+    gathers recorded at the geometry the workload will invert with —
+    prep-time and train-time geometries must agree because the
+    from-disk loader rebuilds geometry from the config, not the
+    data (synthetic.elastic_workload_from_disk)."""
     import jax.numpy as jnp
     from physicsbasedfwi2_tpu.geo import Grid2D, check_cfl, ricker
     from physicsbasedfwi2_tpu.ops import ElasticConfig, simulate_elastic
@@ -214,9 +225,16 @@ def prepare_elastic_tree(vp: np.ndarray, out_root: str, *,
     # same builder the engine's from-disk loader uses
     # (elastic_workload_from_disk -> elastic_line), so prep-time and
     # train-time geometries can never drift apart
-    from physicsbasedfwi2_tpu.geo.acquisition import elastic_line
-    acq = elastic_line(num_shots, num_receivers, nx, nz,
-                       src_row=water_rows + 1, rcv_row=water_rows + 1)
+    from physicsbasedfwi2_tpu.geo.acquisition import (elastic_line,
+                                                      seabed_rows)
+    acq = elastic_line(
+        num_shots, num_receivers, nx, nz,
+        src_row=(src_depth_row if src_depth_row is not None
+                 else water_rows + 1),
+        rcv_row=(rcv_depth_row if rcv_depth_row is not None
+                 else water_rows + 1),
+        rcv_rows_per_col=(seabed_rows(vp_t) if rcv_follow_seabed
+                          else None))
     geom = tuple(jnp.asarray(a) for a in
                  (acq.src_z, acq.src_x, acq.rcv_z, acq.rcv_x))
     # simulate with the operator the engine inverts with on this
@@ -381,6 +399,15 @@ def main(argv=None):
     p.add_argument("--num-shots", type=int, default=None)
     p.add_argument("--num-receivers", type=int, default=None)
     p.add_argument("--water-rows", type=int, default=26)
+    p.add_argument("--src-depth-row", type=int, default=None,
+                   help="elastic source row (default water_rows+1; "
+                        "SEAM uses 6)")
+    p.add_argument("--rcv-depth-row", type=int, default=None,
+                   help="elastic receiver row (default water_rows+1; "
+                        "SEAM uses 23)")
+    p.add_argument("--rcv-follow-seabed", action="store_true",
+                   help="per-column receiver depths at the seabed "
+                        "(the reference's nnz mode)")
     p.add_argument("--unit", choices=("m/s", "km/s", "auto"),
                    default="auto")
     args = p.parse_args(argv)
@@ -405,7 +432,10 @@ def main(argv=None):
         if args.physics == "acoustic":
             prepare_acoustic_tree(m, args.out, **kw)
         else:
-            prepare_elastic_tree(m, args.out, **kw)
+            prepare_elastic_tree(
+                m, args.out, src_depth_row=args.src_depth_row,
+                rcv_depth_row=args.rcv_depth_row,
+                rcv_follow_seabed=args.rcv_follow_seabed, **kw)
         print(f"wrote {args.physics} tree to {args.out} "
               f"(grid {args.nz}x{args.nx})")
     if args.su_obs is not None:

@@ -300,3 +300,24 @@ def test_marmousi_builder_deterministic():
     a = canonical_marmousi_vp(64, 80, seed=7)
     b = canonical_marmousi_vp(64, 80, seed=7)
     np.testing.assert_array_equal(a, b)
+
+
+def test_seam_builder_and_prep_rows(tmp_path):
+    """SEAM canonical grid has water/salt structure; prep threads the
+    SEAM acquisition rows through to the stored gather geometry
+    (prep-time == train-time geometry, networks.py:9688-9712)."""
+    from physicsbasedfwi2_tpu.data.marmousi import canonical_seam_vp
+    from physicsbasedfwi2_tpu.data import prep
+
+    vp = canonical_seam_vp(120, 160)
+    assert vp.shape == (120, 160)
+    assert np.all(vp[:15] == 1490.0)
+    assert (vp == 4480.0).mean() > 0.02  # the salt body exists
+    # tiny elastic prep with explicit rows must run and store A/D
+    import jax
+    out = prep.prepare_elastic_tree(
+        vp[:40, :60], str(tmp_path / "seam"), nt=80, dt=0.002,
+        num_shots=2, num_receivers=8, water_rows=5, chunk=20,
+        src_depth_row=2, rcv_depth_row=7, smooth_iters=5)
+    a = np.load(tmp_path / "seam" / "trainA" / "0.npy")
+    assert a.shape == (2, 80, 8)
