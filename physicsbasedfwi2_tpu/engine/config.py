@@ -429,6 +429,23 @@ register_workload("marmousi_elastic_lbfgs",
                               misfit="tnl2", grad_rescale="none",
                               grad_scale=1.0, grad_depth_power=0.0,
                               grad_taper_rows=0, tether_weight=0.0))
+# strict-parity mode: the reference's LITERAL elastic recipe, wired
+# end-to-end so "your hyperparameters transfer" is verified rather
+# than asserted (docs/MIGRATION.md "Where the defaults deliberately
+# deviate").  Raw L2 misfit (DENISE lnorm=2), per-iteration max
+# rescale (networks.py:7843-7862 r1..r3), water-rows-only taper
+# (networks.py:7808-7814), 10 Hz start with the reference's
+# shift-register range detector at its literal 5e-10 eps
+# (trainValLatent4dVel2Elastic.py:136-146), no tether, no depth
+# weighting.  Measured: this recipe ends WORSE than its starting
+# model here (see the marmousi_elastic notes above) — it exists for
+# hyperparameter-transfer verification, not as a recommended default.
+register_workload("marmousi_elastic_parity", _EL.replace(
+    misfit="l2", grad_rescale="max", grad_scale=1.0,
+    grad_depth_power=0.0, grad_taper_rows=None,
+    freq_stages=(10.0, 15.0, 20.0),
+    plateau_mode="range", plateau_eps=5e-10, plateau_history=5,
+    stage_max_epochs=0, tether_weight=0.0))
 # density-inversion head (AutoElFullRhoMar22, networks.py:8552-8936)
 register_workload("marmousi_elastic_rho",
                   _EL.replace(netG="AutoElFullRhoMar22"))

@@ -930,3 +930,23 @@ def test_seabed_nnz_geometry():
     rz = np.asarray(wl.acq.rcv_z)
     rx = np.asarray(wl.acq.rcv_x)
     np.testing.assert_array_equal(rz[0], want[rx[0]])
+
+
+def test_elastic_parity_workload_runs():
+    """The strict-parity workload (reference literal recipe: raw L2,
+    per-iteration max rescale, water-rows taper, range detector at
+    eps=5e-10, no tether) trains through the full driver — verifying
+    the MIGRATION.md claim that reference hyperparameters transfer.
+    Quality is documented as worse than the defaults; this asserts
+    the wiring, not inversion quality."""
+    from physicsbasedfwi2_tpu.engine.train import train
+
+    cfg = get_workload("marmousi_elastic_parity", **SMALL_EL).replace(
+        name="t_parity", save_dir="/tmp/fwi_test_ck",
+        n_epochs=4, n_epochs_decay=2)
+    assert cfg.misfit == "l2" and cfg.grad_rescale == "max"
+    assert cfg.tether_weight == 0.0 and cfg.plateau_eps == 5e-10
+    eng, hist = train(cfg, epochs=3, quiet=True)
+    assert all(np.isfinite(r["loss_D_MSE"]) for r in hist)
+    assert hist[-1]["freq_stage"] == 10.0  # literal detector: no
+    # plateau fires at SGD loss scales (the vestigial-freqL behavior)
