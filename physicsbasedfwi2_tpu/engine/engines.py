@@ -54,7 +54,13 @@ def _make_optimizer(cfg: ExperimentConfig):
         return optax.inject_hyperparams(optax.adam)(
             learning_rate=cfg.lr, b1=cfg.beta1, eps=cfg.adam_eps)
     if cfg.optimizer == "lbfgs":
-        return lbfgs_wolfe(memory_size=10)
+        # memory 10 = the reference config (AutoElMar22LBFGS_model.py:
+        # 135-137); both knobs overridable for tuning studies
+        # (benchmarks/adam_vs_lbfgs.py)
+        return lbfgs_wolfe(
+            memory_size=int(cfg.extras.get("lbfgs_memory", 10)),
+            max_linesearch_steps=int(
+                cfg.extras.get("lbfgs_linesearch", 20)))
     if cfg.optimizer == "sgld":
         return sgld(cfg.lr, seed=cfg.seed)
     if cfg.optimizer == "sghmc":
