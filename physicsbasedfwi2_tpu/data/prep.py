@@ -195,7 +195,8 @@ def prepare_elastic_tree(vp: np.ndarray, out_root: str, *,
                          smooth_iters: int = 40,
                          src_depth_row: int | None = None,
                          rcv_depth_row: int | None = None,
-                         rcv_follow_seabed: bool = False):
+                         rcv_follow_seabed: bool = False,
+                         rho_start: str = "smooth"):
     """vp [nz, nx] -> unalignedVelABCDEl npy tree (A/D = vx/vz
     gathers, B = [Vp;Vs;Rho]/100, C = low-freq triple /100 — the
     reference's hectometer storage units,
@@ -207,13 +208,28 @@ def prepare_elastic_tree(vp: np.ndarray, out_root: str, *,
     gathers recorded at the geometry the workload will invert with —
     prep-time and train-time geometries must agree because the
     from-disk loader rebuilds geometry from the config, not the
-    data (synthetic.elastic_workload_from_disk)."""
+    data (synthetic.elastic_workload_from_disk).
+
+    rho_start picks the density in the starting tree (trainC):
+    "smooth" (default) smooths the Gardner rho like vp/vs — the
+    engine then simulates with a rho that can never match the rho
+    that generated the gathers, which leaves a modeling-error floor
+    under every misfit (measured on marm751x2301 at 20 Hz: tnl1
+    0.199 at the true vp/vs vs 0.310 at the start — the floor eats
+    2/3 of the landscape's dynamic range and data-consistent drifted
+    models sit inside it, docs/RESULTS.md).  "true" stores the exact
+    Gardner rho in trainC — the standard known-density elastic
+    benchmark (invert vp/vs, density fixed at truth): the true model
+    becomes an exact global minimum of the data misfit."""
     import jax.numpy as jnp
     from physicsbasedfwi2_tpu.geo import Grid2D, check_cfl, ricker
     from physicsbasedfwi2_tpu.ops import ElasticConfig, simulate_elastic
     from physicsbasedfwi2_tpu.data.synthetic import (make_elastic_model,
                                                      smooth_model)
 
+    if rho_start not in ("smooth", "true"):
+        raise ValueError(f"rho_start must be 'smooth' or 'true', "
+                         f"got {rho_start!r}")
     nz, nx = vp.shape
     grid = Grid2D(nz=nz, nx=nx, dx=dx, nt=nt, dt=dt,
                   pml_width=pml_width, free_surface=free_surface)
@@ -250,9 +266,14 @@ def prepare_elastic_tree(vp: np.ndarray, out_root: str, *,
     ovx, ovz = sim_el(jnp.asarray(vp_t), jnp.asarray(vs_t),
                       jnp.asarray(rho_t), wav, *geom, cfg)
     b = np.stack([vp_t, vs_t, rho_t]) / 100.0
-    c = np.stack([smooth_model(f, iters=smooth_iters,
-                               preserve_rows=water_rows)
-                  for f in (vp_t, vs_t, rho_t)]) / 100.0
+    c_rho = (rho_t if rho_start == "true"
+             else smooth_model(rho_t, iters=smooth_iters,
+                               preserve_rows=water_rows))
+    c = np.stack([smooth_model(vp_t, iters=smooth_iters,
+                               preserve_rows=water_rows),
+                  smooth_model(vs_t, iters=smooth_iters,
+                               preserve_rows=water_rows),
+                  c_rho]) / 100.0
     for letter, arr in (("A", np.asarray(ovx)), ("B", b), ("C", c),
                         ("D", np.asarray(ovz))):
         d = os.path.join(out_root, "train" + letter)
@@ -408,6 +429,12 @@ def main(argv=None):
     p.add_argument("--rcv-follow-seabed", action="store_true",
                    help="per-column receiver depths at the seabed "
                         "(the reference's nnz mode)")
+    p.add_argument("--rho-start", choices=("smooth", "true"),
+                   default="smooth",
+                   help="density in the starting tree: 'true' = the "
+                        "known-density benchmark (trainC carries the "
+                        "exact Gardner rho, so the true vp/vs is an "
+                        "exact misfit minimum)")
     p.add_argument("--unit", choices=("m/s", "km/s", "auto"),
                    default="auto")
     args = p.parse_args(argv)
@@ -435,7 +462,8 @@ def main(argv=None):
             prepare_elastic_tree(
                 m, args.out, src_depth_row=args.src_depth_row,
                 rcv_depth_row=args.rcv_depth_row,
-                rcv_follow_seabed=args.rcv_follow_seabed, **kw)
+                rcv_follow_seabed=args.rcv_follow_seabed,
+                rho_start=args.rho_start, **kw)
         print(f"wrote {args.physics} tree to {args.out} "
               f"(grid {args.nz}x{args.nx})")
     if args.su_obs is not None:

@@ -321,3 +321,28 @@ def test_seam_builder_and_prep_rows(tmp_path):
         src_depth_row=2, rcv_depth_row=7, smooth_iters=5)
     a = np.load(tmp_path / "seam" / "trainA" / "0.npy")
     assert a.shape == (2, 80, 8)
+
+def test_prep_rho_start_true_known_density(tmp_path):
+    """rho_start="true" stores the exact Gardner rho in trainC (the
+    known-density benchmark): the engine then simulates with the rho
+    that generated the gathers, making the true vp/vs an exact misfit
+    minimum (the measured fixed-rho floor is docs/RESULTS.md)."""
+    from physicsbasedfwi2_tpu.data import prep
+    import pytest
+
+    vp = np.full((40, 60), 2000.0, np.float32)
+    vp[20:] = 2600.0
+    prep.prepare_elastic_tree(
+        vp, str(tmp_path / "kd"), nt=80, dt=0.002, num_shots=2,
+        num_receivers=8, water_rows=5, chunk=20, smooth_iters=5,
+        rho_start="true")
+    b = np.load(tmp_path / "kd" / "trainB" / "0.npy")
+    c = np.load(tmp_path / "kd" / "trainC" / "0.npy")
+    np.testing.assert_array_equal(b[2], c[2])   # rho known exactly
+    assert not np.array_equal(b[0], c[0])       # vp still smoothed
+    assert not np.array_equal(b[1], c[1])       # vs still smoothed
+    with pytest.raises(ValueError):
+        prep.prepare_elastic_tree(
+            vp, str(tmp_path / "bad"), nt=80, dt=0.002, num_shots=1,
+            num_receivers=4, water_rows=5, chunk=20, smooth_iters=5,
+            rho_start="typo")
