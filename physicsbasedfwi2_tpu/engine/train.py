@@ -269,6 +269,8 @@ def train(cfg: ExperimentConfig, *, epochs: int | None = None,
 
 
 def main(argv=None):
+    from physicsbasedfwi2_tpu.utils.cache import enable_persistent_cache
+    enable_persistent_cache()
     p = argparse.ArgumentParser(description="TPU-native FWI training")
     p.add_argument("--workload", default="marmousi_acoustic",
                    choices=list_workloads())

@@ -24,6 +24,8 @@ def _parse_range(s: str):
 
 
 def main(argv=None):
+    from physicsbasedfwi2_tpu.utils.cache import enable_persistent_cache
+    enable_persistent_cache()
     p = argparse.ArgumentParser()
     p.add_argument("--workload", default="marmousi_acoustic")
     p.add_argument("--name", default="landscape")
