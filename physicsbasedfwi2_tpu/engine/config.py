@@ -53,7 +53,14 @@ class ExperimentConfig:
     n_epochs_decay: int = 100
     lstart: int = 0                    # physics kicks in after this epoch
     grad_scale: float = 1.0e5          # VJP scale (Auto22_model.py:300)
-    misfit: str = "l1"
+    misfit: str = "l1"                 # l1/l2: raw; tnl1/tnl2:
+                                       # per-trace-max normalized;
+                                       # snl2 (elastic): raw L2 with
+                                       # per-shot RMS scaling folded
+                                       # into wavelet+obs — keeps
+                                       # amplitude/AVO information
+                                       # and fixes raw-L2's ~1e-7 f32
+                                       # conditioning
     direct_wave: bool = True           # constant-model direct-arrival
                                        # removal (networks.py:5396-5411)
     wavelet_from_data: bool = False    # AutoWav: per-shot wavelets

@@ -826,7 +826,7 @@ class ElasticDIPEngine(EngineBase):
         # trace-normalized-L1 misfits; tnl2 runs on the fast XLA scheme
         self._use_fused = (cfg.backend in ("auto", "pallas")
                            and single_row
-                           and (cfg.misfit == "l2"
+                           and (cfg.misfit in ("l2", "snl2")
                                 or (cfg.misfit == "tnl1"
                                     and distinct_cols))
                            and (jax.devices()[0].platform == "tpu"
@@ -841,7 +841,7 @@ class ElasticDIPEngine(EngineBase):
                     (cfg.backend not in ("auto", "pallas"),
                      f"backend={cfg.backend}"),
                     (not single_row, "multi-row receivers"),
-                    (cfg.misfit not in ("l2", "tnl1"),
+                    (cfg.misfit not in ("l2", "snl2", "tnl1"),
                      f"misfit={cfg.misfit}"),
                     (cfg.misfit == "tnl1" and not distinct_cols,
                      "duplicate receiver columns"),
@@ -939,6 +939,25 @@ class ElasticDIPEngine(EngineBase):
                 ovz = lowpass_filter_time(wl.obs_vz, key, cfg.dt, axis=1)
             else:
                 wav, ovx, ovz = wl.wavelet, wl.obs_vx, wl.obs_vz
+            if cfg.misfit == "snl2":
+                # shot-normalized raw L2: divide each shot's gathers
+                # AND its wavelet by the shot's observed RMS.  By
+                # linearity of the wave equation the scaled wavelet
+                # scales the prediction identically, so the raw-L2
+                # kernel path computes sum((pred - obs)^2 / rms^2) —
+                # amplitude/AVO information survives (trace-max
+                # normalization destroys it and admits data-consistent
+                # drift basins, docs/RESULTS.md line-scan) while the
+                # f32 conditioning problem of unscaled amplitudes
+                # (~1e-7 losses) disappears.
+                s = jnp.sqrt(jnp.mean(ovx ** 2 + ovz ** 2,
+                                      axis=(1, 2), keepdims=True))
+                s = jnp.maximum(s, 1e-30)
+                if wav.ndim == 1:
+                    wav = jnp.broadcast_to(
+                        wav[None], (ovx.shape[0], wav.shape[-1]))
+                wav = wav / s[:, :, 0]
+                ovx, ovz = ovx / s, ovz / s
             self._stage_cache[key] = (wav, ovx, ovz)
         return self._stage_cache[key]
 
@@ -1021,7 +1040,8 @@ class ElasticDIPEngine(EngineBase):
         loss, grads = fused_elastic_loss_grad(
             vp, vs, rho, wav, sz, sx, rz, rx, wl.cfg,
             pd["orx"][shot_idx], pd["orz"][shot_idx], KC=8, wrt=names,
-            misfit=self.cfg.misfit, interpret=self._interp)
+            misfit=("l2" if self.cfg.misfit == "snl2"
+                    else self.cfg.misfit), interpret=self._interp)
         return loss, jnp.stack([grads[k] for k in names], -1)
 
     def _sharded_value_and_grad(self, m, shot_idx, pd):
@@ -1065,7 +1085,9 @@ class ElasticDIPEngine(EngineBase):
                 loss, grads = fused_elastic_loss_grad(
                     vp, vs, rho, wavb, szb, sxb, rzb, rxb, wl.cfg,
                     oxb, ozb, KC=8, wrt=names,
-                    misfit=self.cfg.misfit, interpret=self._interp)
+                    misfit=("l2" if self.cfg.misfit == "snl2"
+                            else self.cfg.misfit),
+                    interpret=self._interp)
                 return (lax.pmean(loss, "shot"),
                         *(lax.pmean(grads[k], "shot") for k in names))
 

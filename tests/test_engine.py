@@ -950,3 +950,34 @@ def test_elastic_parity_workload_runs():
     assert all(np.isfinite(r["loss_D_MSE"]) for r in hist)
     assert hist[-1]["freq_stage"] == 10.0  # literal detector: no
     # plateau fires at SGD loss scales (the vestigial-freqL behavior)
+
+def test_elastic_snl2_misfit_shot_normalized():
+    """snl2: per-shot RMS scaling folded into wavelet+obs by linearity
+    (engines.py _stage_data).  The scaled obs have unit combined RMS
+    per shot, the loss is finite under training, and the misfit at the
+    true vp/vs (same rho path the engine simulates with) is far below
+    the misfit at the start — the amplitude information trace-max
+    normalization destroys is retained (docs/RESULTS.md line-scan)."""
+    cfg = get_workload("marmousi_elastic", **SMALL_EL).replace(
+        name="t_snl2", save_dir="/tmp/fwi_test_ck", misfit="snl2")
+    eng = create_engine(cfg)
+    wav, ovx, ovz = eng._stage_data(12.0)
+    rms = np.sqrt(np.mean(np.asarray(ovx) ** 2 + np.asarray(ovz) ** 2,
+                          axis=(1, 2)))
+    np.testing.assert_allclose(rms, 1.0, rtol=1e-4)
+    assert wav.ndim == 2 and wav.shape[0] == ovx.shape[0]
+    r = eng.optimize_parameters(epoch=1, freq=12.0)
+    assert np.isfinite(r["loss_D_MSE"])
+    # misfit ranks truth far below start (snl2 keeps amplitudes; the
+    # synthetic workload regenerates obs with the same operator but
+    # TRUE rho, while the engine simulates with start rho, so truth
+    # is near-but-not-exactly zero — assert a 5x separation)
+    wl = eng.wl
+    pd = eng._stage_pack(12.0)
+    import jax.numpy as jnp
+    idx = jnp.arange(wl.geom[0].shape[0])
+    m_start = jnp.stack([wl.start["vp"], wl.start["vs"]], -1)
+    m_true = jnp.stack([wl.true["vp"], wl.true["vs"]], -1)
+    j_start = float(eng._physics_loss_raw(m_start, idx, pd))
+    j_true = float(eng._physics_loss_raw(m_true, idx, pd))
+    assert j_true < 0.2 * j_start, (j_true, j_start)
