@@ -327,6 +327,26 @@ register_workload("marmousi_acoustic", ExperimentConfig(
     # from hitting zero at the 100+100 dataclass default
     n_epochs=2000, n_epochs_decay=2000,
 ))
+# Real-Marmousi recipe (round 4, measured).  On the resampled
+# published grid (fwi-prep marm751x2301.segy -> 151x200, vp up to
+# 4700 m/s) the single-band 8 Hz recipe above saturates: the DIP
+# drifts to the velocity rails and stalls at a data misfit WORSE
+# than the smoothed start (runs_r4/ac_flagship_r4: misfit 0.105 vs
+# 0.060 at the start model, model MSE flat at ~1.1e6).  The same
+# cure as the elastic flagship applies — frequency continuation
+# (zero-phase low-pass of wavelet+obs+direct per stage,
+# AcousticDIPEngine._stage_phys_pd) from 3 Hz up to full band (0.0),
+# advancing on the relative-improvement plateau detector.
+register_workload("marmousi_acoustic_real", ExperimentConfig(
+    engine="acoustic_dip", netG="Auto22",
+    nz=151, nx=200, dx=10.0, nt=4001, dt=0.001, freq=8.0,
+    num_shots=18, num_receivers=200,
+    lr=0.01, lstart=0, misfit="l1",
+    n_epochs=2000, n_epochs_decay=2000,
+    freq_stages=(3.0, 4.5, 6.0, 8.0, 12.0, 0.0),
+    plateau_mode="improve", plateau_eps=0.005, plateau_history=15,
+    stage_max_epochs=150,
+))
 register_workload("marmousi_acoustic_unet", ExperimentConfig(
     engine="acoustic_dip", netG="Unet22",
     nz=151, nx=200, dx=10.0, nt=4001, dt=0.001, freq=8.0,
@@ -420,6 +440,18 @@ _EL = ExperimentConfig(
     tether_weight=0.3,
 )
 register_workload("marmousi_elastic", _EL)
+# The real-Marmousi flagship recipe (round 4, measured).  Run against
+# a known-density tree (``fwi-prep --physics elastic --rho-start
+# true``, e.g. dataroots/marm_elastic_kd): with the density floor
+# removed the true vp/vs is an exact misfit minimum, and UNTETHERED
+# descent through the continuation stages is what actually inverts —
+# the tether equilibrium caps progress ~5% below the start while
+# probe E (this recipe, seed 0) reaches ~60-70% below it
+# (docs/RESULTS.md round-4 table).  Still seed-sensitive (the data
+# term barely separates basins; seeds 1/2 drift) — the seed here is
+# part of the recipe, as in the reference's fixed-init DIP runs.
+register_workload("marmousi_elastic_real",
+                  _EL.replace(tether_weight=0.0, seed=0))
 # L-BFGS variant (AutoElMar22LBFGS_model.py:128-137).  L-BFGS builds
 # its own curvature model from (value, grad) pairs, so the Adam-era
 # gradient conditioning above (grad_scale=1e6 fixed rescale, depth^2

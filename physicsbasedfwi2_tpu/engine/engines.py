@@ -344,9 +344,12 @@ class AcousticDIPEngine(EngineBase):
         """Reference misfit pipeline (networks.py:5467-5476): subtract
         the constant-model direct wave from pred, trace-normalize,
         L1/L2 against the (raw-normalized) observed data.  ``pd`` is
-        the physics-data pytree from :meth:`_make_physics_loss`."""
+        the physics-data pytree from :meth:`_make_physics_loss` (or
+        its stage-filtered variant from :meth:`_stage_phys_pd`) — the
+        wavelet rides in it so frequency continuation swaps data, not
+        compiled code."""
         cfg, wl = self.cfg, self.wl
-        pred = simulate_acoustic(vp, wl.wavelet, *wl.geom, wl.cfg)
+        pred = simulate_acoustic(vp, pd["wav"], *wl.geom, wl.cfg)
         from physicsbasedfwi2_tpu.ops.misfit import normalized_trace_misfit
         return normalized_trace_misfit(pred, pd["obs_norm"],
                                        direct=pd["direct"],
@@ -372,7 +375,8 @@ class AcousticDIPEngine(EngineBase):
         wl = self.wl
         use_fused = self._use_fused
         encoded = cfg.encoded_shots > 0
-        pd = {"obs_norm": wl.obs_norm, "direct": self._direct}
+        pd = {"obs_norm": wl.obs_norm, "direct": self._direct,
+              "wav": wl.wavelet}
         if encoded:
             # random-polarity simultaneous-source mode: raw per-shot
             # gathers combine linearly into super-gathers; the
@@ -402,8 +406,11 @@ class AcousticDIPEngine(EngineBase):
                     ns_real, ns_pad = pad_shots_for_fused(
                         wl.wavelet, *wl.geom, obs_rows, dir_rows,
                         mesh.shape["shot"])
-                self._fused_pad = (wavp, szp, sxp, rzp, rxp,
-                                   ns_real, ns_pad)
+                # geometry stays a closure (static across stages);
+                # the padded wavelet rides in pd so stage filtering
+                # reaches the compiled step as data
+                self._fused_pad = (szp, sxp, rzp, rxp, ns_real, ns_pad)
+                pd["wavp"] = wavp
             pd.update(obs_rows=obs_rows, dir_rows=dir_rows)
         elif mesh is not None:
             from physicsbasedfwi2_tpu.parallel import pad_shots_to_multiple
@@ -419,24 +426,24 @@ class AcousticDIPEngine(EngineBase):
                 from physicsbasedfwi2_tpu.ops.encoding import (
                     encoded_fwi_gradient)
                 return encoded_fwi_gradient(
-                    vp, pd["obs"], wl.wavelet, *wl.geom, wl.cfg,
+                    vp, pd["obs"], pd["wav"], *wl.geom, wl.cfg,
                     pd["enc_key"], cfg.encoded_shots,
                     misfit=cfg.misfit)
             if use_fused:
                 if mesh is not None:
                     from physicsbasedfwi2_tpu.parallel import (
                         shot_sharded_fused_acoustic_gradient)
-                    wavp, szp, sxp, rzp, rxp, ns_real, ns_pad = \
+                    szp, sxp, rzp, rxp, ns_real, ns_pad = \
                         self._fused_pad
                     loss, grad = shot_sharded_fused_acoustic_gradient(
-                        mesh, vp, wavp, szp, sxp, rzp, rxp, wl.cfg,
-                        pd["obs_rows"], pd["dir_rows"],
+                        mesh, vp, pd["wavp"], szp, sxp, rzp, rxp,
+                        wl.cfg, pd["obs_rows"], pd["dir_rows"],
                         interpret=cfg.extras.get("fused_interpret",
                                                  False))
                     s = ns_pad / ns_real
                     return loss * s, grad * s
                 return fwi_l1_loss_grad(
-                    vp, wl.wavelet, *wl.geom, wl.cfg, pd["obs_rows"],
+                    vp, pd["wav"], *wl.geom, wl.cfg, pd["obs_rows"],
                     pd["dir_rows"],
                     interpret=cfg.extras.get("fused_interpret", False))
             if mesh is None:
@@ -447,7 +454,7 @@ class AcousticDIPEngine(EngineBase):
             direct = (pd["padded"][5] if self._direct is not None
                       else None)
             return shot_sharded_acoustic_gradient(
-                mesh, vp, obs, wl.wavelet, sz, sx, rz, rx, wl.cfg,
+                mesh, vp, obs, pd["wav"], sz, sx, rz, rx, wl.cfg,
                 misfit=cfg.misfit, shot_mask=pd["mask"], direct=direct)
 
         @jax.custom_vjp
@@ -493,6 +500,7 @@ class AcousticDIPEngine(EngineBase):
         # pytree (see _make_physics_loss for why closures won't do)
         self._pack = {"shots_in": self.shots_in, "true_b": self.true_b,
                       "vp_true": self.wl.vp_true, "phys": phys_pd}
+        self._stage_cache = {}
 
         def total_loss(params, use_physics, rng, pack):
             out = self._apply_net(
@@ -565,14 +573,86 @@ class AcousticDIPEngine(EngineBase):
         self._eval_step = eval_step
         self._rng = jax.random.PRNGKey(cfg.seed + 7)
 
-    def optimize_parameters(self, epoch: int):
+    def _stage_phys_pd(self, fc):
+        """Stage-filtered variant of the physics pytree — frequency
+        continuation for the acoustic engine, mirroring
+        ElasticDIPEngine._stage_data (DENISE's source-side band limit,
+        reference networks.py:7711-7713): the wavelet and the observed
+        gathers (and the cached direct wave) are zero-phase low-passed
+        once per stage; by linearity simulating with the filtered
+        wavelet equals filtering the prediction.  The variant shares
+        the base pytree's treedef and shapes, so every stage reuses
+        ONE compiled train step."""
+        key = float(fc or 0.0)
+        if key <= 0.0:
+            return self._pack["phys"]
+        if key not in self._stage_cache:
+            from physicsbasedfwi2_tpu.geo.filters import (
+                lowpass_filter_time)
+            cfg, wl = self.cfg, self.wl
+            base = self._pack["phys"]
+            pd = dict(base)
+            pd["wav"] = lowpass_filter_time(wl.wavelet, key, cfg.dt,
+                                            axis=-1)
+            obs = lowpass_filter_time(wl.obs, key, cfg.dt, axis=1)
+            pd["obs_norm"] = trace_normalize(obs)
+            if base.get("direct") is not None:
+                pd["direct"] = lowpass_filter_time(self._direct, key,
+                                                   cfg.dt, axis=1)
+            if "obs" in base:  # encoded-source mode filters raw obs
+                pd["obs"] = obs
+            if self._use_fused:
+                from physicsbasedfwi2_tpu.ops.pallas_fwi_fused import (
+                    scatter_rows)
+                g = wl.cfg.grid
+                obs_rows = scatter_rows(pd["obs_norm"], wl.geom[3],
+                                        nt=g.nt, nx=g.nx,
+                                        pml_width=g.pml_width)
+                if self._dir_rows is not None:
+                    dr = lowpass_filter_time(self._dir_rows, key,
+                                             cfg.dt, axis=1)
+                    pad_t = obs_rows.shape[1] - dr.shape[1]
+                    dir_rows = jnp.pad(dr, ((0, 0), (0, pad_t),
+                                            (0, 0)))
+                else:
+                    dir_rows = jnp.zeros_like(obs_rows)
+                if self.mesh is not None:
+                    from physicsbasedfwi2_tpu.parallel import (
+                        pad_shots_for_fused)
+                    (wavp, _, _, _, _, obs_rows, dir_rows), _, _ = \
+                        pad_shots_for_fused(
+                            pd["wav"], *wl.geom, obs_rows, dir_rows,
+                            self.mesh.shape["shot"])
+                    pd["wavp"] = wavp
+                pd.update(obs_rows=obs_rows, dir_rows=dir_rows)
+            elif self.mesh is not None:
+                from physicsbasedfwi2_tpu.parallel import (
+                    pad_shots_to_multiple)
+                pad_list = [*wl.geom, pd["obs_norm"]]
+                if self._direct is not None:
+                    pad_list.append(pd["direct"])
+                padded, mask = pad_shots_to_multiple(
+                    pad_list, self.mesh.shape["shot"])
+                pd.update(padded=list(padded), mask=mask)
+            self._stage_cache[key] = pd
+        return self._stage_cache[key]
+
+    def optimize_parameters(self, epoch: int, freq: float | None = None,
+                            tether_stage: int | None = None):
         """One iteration (reference optimize_parameters,
-        Auto22_model.py:284-330)."""
+        Auto22_model.py:284-330).  ``freq`` is the continuation
+        stage's corner frequency from the train loop (None/0 = full
+        band); ``tether_stage`` is accepted for train-loop API
+        symmetry (the tether is an elastic-engine recipe)."""
         self._rng, sub = jax.random.split(self._rng)
         use_physics = epoch > self.cfg.lstart
         if self.lr_policy is not None:
             _set_lr(self.opt_state, self.lr_policy.lr_for_epoch(epoch))
         pack = self._pack
+        if freq:
+            pd = self._stage_phys_pd(freq)
+            if pd is not pack["phys"]:
+                pack = dict(pack, phys=pd)
         if self.cfg.encoded_shots > 0:
             # fresh polarity draw every iteration (identical pytree
             # structure, so the compiled step is reused)
