@@ -51,3 +51,29 @@ def test_elastic_flagship_beats_starting_model(tmp_path):
     # keeps seed margin while still asserting genuine sub-start
     # inversion
     assert final < 0.98 * start, (final, start)
+
+
+def test_elastic_real_flagship_inverts(tmp_path):
+    """Round-4 acceptance gate at the demonstrated margin: the
+    real-Marmousi known-density flagship recipe
+    (marmousi_elastic_real + dataroots/marm_elastic_kd, docs/RESULTS.md
+    round-4 table) reaches model MSE 0.50 x start by epoch 1000 in the
+    recorded full-budget run; gate at 0.75 x to keep hardware margin
+    while asserting genuine inversion, not a 2% twitch."""
+    dataroot = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "dataroots", "marm_elastic_kd")
+    if not os.path.isdir(dataroot):
+        pytest.skip("real Marmousi kd tree not prepped (fwi-prep "
+                    "--physics elastic --rho-start true)")
+    epochs = 1000
+    cfg = get_workload("marmousi_elastic_real").replace(
+        name="t_inv_real", save_dir=str(tmp_path), dataroot=dataroot,
+        save_epoch_freq=10 ** 9)
+    eng, hist = train(cfg, epochs=epochs, quiet=True)
+
+    start = next(r["loss_M_MSE"] for r in hist
+                 if r["epoch"] == cfg.lstart)
+    final = hist[-1]["loss_M_MSE"]
+    stages = {r.get("freq_stage") for r in hist}
+    assert len(stages) >= 4, stages
+    assert final < 0.75 * start, (final, start)
