@@ -57,6 +57,14 @@ def main(argv=None):
                         "the final checkpoint and overlay the "
                         "projected path (reference plot_trajectory."
                         "py + projection.py)")
+    p.add_argument("--dataroot", default=None,
+                   help="on-disk npy tree for the workload (surface "
+                        "of a run trained on real data must be "
+                        "evaluated against the same data)")
+    p.add_argument("--set", action="append", default=[],
+                   metavar="FIELD=VALUE", dest="overrides",
+                   help="override any config field (fwi-train "
+                        "syntax)")
     args = p.parse_args(argv)
 
     import jax.numpy as jnp
@@ -67,6 +75,12 @@ def main(argv=None):
     from physicsbasedfwi2_tpu.ops import simulate_acoustic, trace_normalize
 
     cfg = get_workload(args.workload).replace(save_dir=args.save_dir)
+    if args.dataroot:
+        cfg = cfg.replace(dataroot=args.dataroot)
+    if args.overrides:
+        from physicsbasedfwi2_tpu.engine.config import (
+            parse_set_overrides)
+        cfg = cfg.replace(**parse_set_overrides(args.overrides))
     is_elastic = cfg.engine == "elastic_dip"
     if args.small:
         small = dict(nz=48, nx=64, nt=300, num_shots=4,
