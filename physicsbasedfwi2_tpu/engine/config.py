@@ -521,15 +521,21 @@ register_workload("latent_inversion", ExperimentConfig(
 # 30 m at depth_rec = 23*30 m (row 23), 4 random shots/iter; the
 # seabed-following nnz receiver mode (networks.py:4898-4946) is the
 # rcv_follow_seabed extra (geo.acquisition.seabed_rows)
+# SEAM's source is a 5 Hz Ricker (networks.py:9637-9700 dx=30 SEAM
+# slice) — the Marmousi 4-20 Hz ladder inherited from _EL is a no-op
+# above ~8 Hz (measured: runs at that ladder leave the 5 Hz band
+# after ~100 epochs and drift monotonically away from the start);
+# the ladder must live INSIDE the source band.
+_SEAM_STAGES = (2.0, 3.0, 4.0, 5.0, 7.5)
 register_workload("seam_elastic", _EL.replace(
     netG="AutoSEAMMar22", dx=30.0, nz=120, nx=324, nt=2568, dt=0.0035,
     freq=5.0, num_shots=38, shots_per_iter=4, num_receivers=300,
-    water_rows=20,
+    water_rows=20, freq_stages=_SEAM_STAGES,
     extras={"src_depth_row": 6, "rcv_depth_row": 23}))
 register_workload("seam_elastic_seabed", _EL.replace(
     netG="AutoSEAMMar22", dx=30.0, nz=120, nx=324, nt=2568, dt=0.0035,
     freq=5.0, num_shots=38, shots_per_iter=4, num_receivers=300,
-    water_rows=20,
+    water_rows=20, freq_stages=_SEAM_STAGES,
     extras={"src_depth_row": 6, "rcv_follow_seabed": True}))
 register_workload("mcdip_uq", _EL.replace(
     netG="AutoElMarMCDIP22", dropout=0.1))
