@@ -141,10 +141,12 @@ def build_variant(vp, wavelet, src_z, src_x, rcv_z,
             pl.BlockSpec((nzp, nxp), lambda s, *_: (0, 0)),
             pl.BlockSpec((nzp, nxp), lambda s, *_: (0, 0)),
         ],
-        out_specs=pl.BlockSpec((8, 128), lambda s, *_: (0, 0)),
+        # the HBM checkpoint buffer rides as an ANY-space OUTPUT (the
+        # production fused kernel's pattern, pallas_fwi_fused.py:290 —
+        # ANY-space scratch_shapes fail Mosaic memory-space inference)
+        out_specs=[pl.BlockSpec((8, 128), lambda s, *_: (0, 0)),
+                   pl.BlockSpec(memory_space=pl.ANY)],
         scratch_shapes=[
-            pltpu.MemorySpace.ANY((ns, n_ck, 2, nzp, nxp),
-                                  jnp.float32),
             pltpu.VMEM((nzp, nxp), jnp.float32),
             pltpu.VMEM((nzp, nxp), jnp.float32),
             pltpu.VMEM((ntp, nxp), jnp.float32),
@@ -153,15 +155,18 @@ def build_variant(vp, wavelet, src_z, src_x, rcv_z,
     )
     call = pl.pallas_call(
         kern, grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((8, 128), jnp.float32),
+        out_shape=(jax.ShapeDtypeStruct((8, 128), jnp.float32),
+                   jax.ShapeDtypeStruct((ns, n_ck, 2, nzp, nxp),
+                                        jnp.float32)),
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary",)),
+            dimension_semantics=("arbitrary",),
+            has_side_effects=True),
         interpret=interpret,
     )
 
     @jax.jit
     def run(scale):
-        return call(szp, sxp, rrow, wav_sm * scale, K, dp, dm)[0, 0]
+        return call(szp, sxp, rrow, wav_sm * scale, K, dp, dm)[0][0, 0]
 
     return run
 
