@@ -196,8 +196,13 @@ def write_segy_grid(path: str, m: np.ndarray, *, dx: float = 4.0,
     nz, nx = m.shape
     text = (f"C 1 Marmousi-structured velocity grid {nz}x{nx} @ "
             f"{dx} m, column traces").ljust(3200)[:3200]
+    # the uint16 "sample interval" slot holds dx in mm (= us for time
+    # data); clamp at the format ceiling (65.535 m) rather than raise
+    # struct.error — readers here ignore the slot, the textual header
+    # above carries the authoritative dx
+    dx_slot = min(int(round(dx * 1000)), 0xFFFF)
     bin_hdr = bytearray(400)
-    bin_hdr[16:18] = struct.pack(">H", int(round(dx * 1000)))  # dt (us slot)
+    bin_hdr[16:18] = struct.pack(">H", dx_slot)  # dt (us slot)
     bin_hdr[20:22] = struct.pack(">H", nz)                     # ns
     bin_hdr[24:26] = struct.pack(">H", fmt)                    # format
     with open(path, "wb") as f:
@@ -212,8 +217,7 @@ def write_segy_grid(path: str, m: np.ndarray, *, dx: float = 4.0,
             tr_hdr = bytearray(240)
             tr_hdr[0:4] = struct.pack(">i", j + 1)      # trace seq
             tr_hdr[114:116] = struct.pack(">H", nz)     # ns
-            tr_hdr[116:118] = struct.pack(">H",
-                                          int(round(dx * 1000)) & 0xFFFF)
+            tr_hdr[116:118] = struct.pack(">H", dx_slot)
             f.write(bytes(tr_hdr))
             f.write(samples[j].tobytes())
 
@@ -231,14 +235,19 @@ def main(argv=None):
     p.add_argument("--fmt", type=int, default=5, choices=(1, 5),
                    help="sample format: 5=IEEE (default), 1=IBM")
     p.add_argument("--seed", type=int, default=None)
+    p.add_argument("--dx", type=float, default=None,
+                   help="cell size written to the SEG-Y headers "
+                        "(default: 4 m Marmousi, 30 m SEAM)")
     args = p.parse_args(argv)
     if args.model == "seam":
         vp = canonical_seam_vp(args.nz or 600, args.nx or 1620,
                                seed=args.seed or 2011)
+        dx = args.dx if args.dx is not None else 30.0
     else:
         vp = canonical_marmousi_vp(args.nz or 751, args.nx or 2301,
                                    seed=args.seed or 1988)
-    write_segy_grid(args.out, vp, fmt=args.fmt)
+        dx = args.dx if args.dx is not None else 4.0
+    write_segy_grid(args.out, vp, dx=dx, fmt=args.fmt)
     print(f"wrote {args.out}: {vp.shape[0]}x{vp.shape[1]} vp in "
           f"[{vp.min():.0f}, {vp.max():.0f}] m/s (fmt={args.fmt})")
 
