@@ -76,7 +76,12 @@ def run_arm(workload: str, budget: int, dataroot: str | None,
             spent += shots_full * _linesearch_steps(eng.opt_state)
         else:
             spent += per_iter
-        curve.append((spent, out["loss_D_MSE"], out["loss_M_MSE"]))
+        # elastic engines report "loss_D_MSE"; the acoustic DIP engine
+        # reports "loss_D" (or "loss_M" for anchor-only epochs,
+        # engines.py:666)
+        misfit = next(out[k] for k in ("loss_D_MSE", "loss_D", "loss_M")
+                      if k in out)
+        curve.append((spent, misfit, out["loss_M_MSE"]))
     val, _ = eng.test()
     best_mse = min(c[2] for c in curve)
     return {"arm": label, "workload": workload,

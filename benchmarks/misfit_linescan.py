@@ -81,7 +81,20 @@ def main(argv=None):
             flush=True)
         paths.append(("D(drift)", drift))
 
-    wav, ovx, ovz = eng._stage_data(args.fc)
+    # Band-limit the raw gathers directly rather than via
+    # eng._stage_data: for snl2-configured workloads _stage_data
+    # returns gathers ALREADY divided by the per-shot RMS, so a scan
+    # scaling recomputed from them is ~1 and the reported snl2 would
+    # silently equal l2.  The scan must stay independent of
+    # cfg.misfit — it is the tool that ranks the candidates.
+    from physicsbasedfwi2_tpu.geo.filters import lowpass_filter_time
+    fc = float(args.fc or 0.0)
+    if fc > 0:
+        wav = lowpass_filter_time(wl.wavelet, fc, cfg.dt, axis=-1)
+        ovx = lowpass_filter_time(wl.obs_vx, fc, cfg.dt, axis=1)
+        ovz = lowpass_filter_time(wl.obs_vz, fc, cfg.dt, axis=1)
+    else:
+        wav, ovx, ovz = wl.wavelet, wl.obs_vx, wl.obs_vz
     s = jnp.maximum(jnp.sqrt(jnp.mean(ovx ** 2 + ovz ** 2,
                                       axis=(1, 2), keepdims=True)),
                     1e-30)

@@ -46,6 +46,19 @@ from physicsbasedfwi2_tpu.optim.schedules import (
 )
 
 
+def _evict_stale_stages(cache: dict, fc: float) -> None:
+    """Drop cached stage data for every stage but ``fc``.
+
+    Each stage entry holds a full low-passed copy of the observed
+    gathers (plus wavelet/direct/scattered rows) on device; stages
+    advance monotonically and are never revisited, so keeping old
+    entries pins ~n_stages x the dataset in HBM for the rest of the
+    run.  Keys are either the stage float or ("pack", float)."""
+    for k in [k for k in cache
+              if (k[1] if isinstance(k, tuple) else k) != fc]:
+        del cache[k]
+
+
 def _make_optimizer(cfg: ExperimentConfig):
     if cfg.optimizer == "adam":
         # inject_hyperparams so LrPolicy can steer the lr per epoch
@@ -634,6 +647,7 @@ class AcousticDIPEngine(EngineBase):
                 padded, mask = pad_shots_to_multiple(
                     pad_list, self.mesh.shape["shot"])
                 pd.update(padded=list(padded), mask=mask)
+            _evict_stale_stages(self._stage_cache, key)
             self._stage_cache[key] = pd
         return self._stage_cache[key]
 
@@ -1038,6 +1052,7 @@ class ElasticDIPEngine(EngineBase):
                         wav[None], (ovx.shape[0], wav.shape[-1]))
                 wav = wav / s[:, :, 0]
                 ovx, ovz = ovx / s, ovz / s
+            _evict_stale_stages(self._stage_cache, key)
             self._stage_cache[key] = (wav, ovx, ovz)
         return self._stage_cache[key]
 
@@ -1065,6 +1080,7 @@ class ElasticDIPEngine(EngineBase):
                                             self.wl.cfg, KC=8)
                 pd["orz"] = scatter_rows_el(sz_, self.wl.geom[3],
                                             self.wl.cfg, KC=8)
+            _evict_stale_stages(self._stage_cache, key[1])
             self._stage_cache[key] = pd
         return self._stage_cache[key]
 
