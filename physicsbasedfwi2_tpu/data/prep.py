@@ -186,7 +186,7 @@ def prepare_acoustic_tree(vp: np.ndarray, out_root: str, *,
 
 
 def prepare_elastic_tree(vp: np.ndarray, out_root: str, *,
-                         dx: float = 20.0, nt: int = 1667,
+                         dx: float = 20.0, nt: int = 3334,
                          dt: float = 0.0015, freq: float = 10.0,
                          num_shots: int = 35, num_receivers: int = 298,
                          pml_width: int = 20, water_rows: int = 26,

@@ -73,6 +73,26 @@ class ExperimentConfig:
                                        # et al. 2009 style)
     validate_on_twin: bool = True      # held-out Test-twin validation
                                        # (data/__init__.py:41-62)
+    holdout_shots: int = 0             # >0: exclude this many evenly
+                                       # spaced shots from the
+                                       # training pool and log their
+                                       # misfit as loss_H — an
+                                       # UNSUPERVISED early-stopping /
+                                       # model-selection metric (the
+                                       # reference early-stopped by
+                                       # manually resuming from a
+                                       # chosen epoch,
+                                       # trainVelAutoElMar22ModelPhy.sh
+                                       # --epoch 1500; a real user has
+                                       # no ground-truth model MSE to
+                                       # peek at).  train.py saves the
+                                       # best-loss_H checkpoint of the
+                                       # final frequency stage as
+                                       # 'selected'.
+    holdout_every: int = 10            # epochs between loss_H
+                                       # evaluations (each costs a
+                                       # forward sim of the held-out
+                                       # shots)
     supervised_weight: float = 0.0     # model-MSE term weight
     anchor_weight: float = 0.0         # optional low-freq tether in the
                                        # physics phase (off = reference)

@@ -902,6 +902,23 @@ class ElasticDIPEngine(EngineBase):
             print(f"[{cfg.name}] workload has {self.n_shots} shots; "
                   f"config num_shots={cfg.num_shots} — using the "
                   f"workload's count")
+        # held-out shots for unsupervised early stopping: k evenly
+        # spaced INTERIOR shots never enter the training pool; their
+        # misfit (loss_H) is the selection metric a user without the
+        # ground-truth model can compute (train.py saves the best
+        # final-stage loss_H checkpoint as 'selected')
+        import numpy as _nph
+        if cfg.holdout_shots > 0:
+            k = min(cfg.holdout_shots, max(self.n_shots - 1, 1))
+            hold = _nph.unique(_nph.round(_nph.linspace(
+                0, self.n_shots - 1, k + 2)[1:-1]).astype(_nph.int64))
+            pool = _nph.setdiff1d(_nph.arange(self.n_shots), hold)
+            self._holdout_idx = jnp.asarray(hold, jnp.int32)
+            self._train_pool = jnp.asarray(pool, jnp.int32)
+        else:
+            self._holdout_idx = None
+            self._train_pool = jnp.arange(self.n_shots,
+                                          dtype=jnp.int32)
         # fast paths (operator consistency mirrors the acoustic
         # engine: synthetic obs are regenerated with the operator the
         # inversion uses):
@@ -1403,8 +1420,11 @@ class ElasticDIPEngine(EngineBase):
             cfg.freq_stages[0] if cfg.freq_stages else 0.0)
         nsub = cfg.shots_per_iter or self.n_shots
         self._rng, s1, s2 = jax.random.split(self._rng, 3)
-        # random shot subset per iteration (AutoElMar22_model.py:512)
-        idx = jax.random.permutation(s1, self.n_shots)[:nsub]
+        # random shot subset per iteration (AutoElMar22_model.py:512),
+        # drawn from the training pool (excludes any held-out shots)
+        pool = self._train_pool
+        nsub = min(nsub, int(pool.shape[0]))
+        idx = pool[jax.random.permutation(s1, pool.shape[0])[:nsub]]
         use_physics = epoch > cfg.lstart
         if (use_physics and cfg.lstart > 0 and cfg.phase_reset_opt
                 and not self._phase_reset_done):
@@ -1444,6 +1464,9 @@ class ElasticDIPEngine(EngineBase):
             self.params, self.opt_state, idx, s2, use_physics, pack)
         loss_d, mse = map(float, jax.device_get((loss_d, mse)))
         out = {"loss_D_MSE": loss_d, "loss_M_MSE": mse}
+        if (self._holdout_idx is not None and use_physics
+                and epoch % max(cfg.holdout_every, 1) == 0):
+            out["loss_H"] = self.holdout_misfit(fc)
         if self.lr_policy is not None:
             if use_physics:
                 out["lr"] = self.lr_policy.after_epoch(loss_d)
@@ -1453,6 +1476,26 @@ class ElasticDIPEngine(EngineBase):
                 # detector, train.py)
                 out["lr"] = self.lr_policy.lr
         return out
+
+    def holdout_misfit(self, fc=None) -> float:
+        """cfg.misfit on the held-out shots at continuation stage
+        ``fc`` — the unsupervised early-stopping metric (loss_H).
+        The held-out gathers never enter a training gradient, so this
+        is what a real user (no ground-truth model) watches instead
+        of the oracle model-MSE the per-iteration train misfit cannot
+        substitute for (trace-normalized misfits admit data-consistent
+        drift, docs/RESULTS.md)."""
+        if self._holdout_idx is None:
+            raise ValueError("holdout_misfit needs cfg.holdout_shots>0")
+        if "holdout" not in self._step_cache:
+            hidx = self._holdout_idx
+            raw = self._physics_loss_raw
+            self._step_cache["holdout"] = jax.jit(
+                lambda m, pd: raw(m, hidx, pd))
+        wav, ovx, ovz = self._stage_data(fc)
+        m = self._sample_model(self.params)[0]
+        return float(self._step_cache["holdout"](
+            m, {"wav": wav, "ovx": ovx, "ovz": ovz}))
 
     def _sample_model(self, params, rng=None):
         """One deterministic (rng=None) or dropout-sampled model from

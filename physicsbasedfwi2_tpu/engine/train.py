@@ -208,6 +208,14 @@ def train(cfg: ExperimentConfig, *, epochs: int | None = None,
                               mode=cfg.plateau_mode,
                               stage_max_epochs=cfg.stage_max_epochs)
     history = []
+    # unsupervised model selection: track the best held-out-shot
+    # misfit (loss_H, cfg.holdout_shots) over the FINAL frequency
+    # stage — loss_H scales jump at stage advances, so only the last
+    # stage's values are comparable — and keep that checkpoint as
+    # 'selected' (the honest alternative to picking the oracle-best
+    # model-MSE epoch, which needs the ground truth)
+    best_h = float("inf")
+    selected_epoch = None
     if profile_dir and profile_epochs > 0:
         import jax
         jax.profiler.start_trace(profile_dir)
@@ -255,6 +263,12 @@ def train(cfg: ExperimentConfig, *, epochs: int | None = None,
         rec = {"epoch": epoch, **agg, **val_losses,
                "freq_stage": stages[stage_i],
                "epoch_time": time.time() - t0}
+        if ("loss_H" in agg and stage_i == len(stages) - 1
+                and agg["loss_H"] < best_h):
+            best_h = agg["loss_H"]
+            selected_epoch = epoch
+            rec["selected_epoch"] = epoch
+            engine.save_networks("selected")
         history.append(rec)
         viz.log_epoch(rec, model_img=model_img)
         if profile_dir and epoch - start_epoch + 1 == profile_epochs:
@@ -265,6 +279,10 @@ def train(cfg: ExperimentConfig, *, epochs: int | None = None,
         if epoch % cfg.save_epoch_freq == 0 or epoch == epochs:
             engine.save_networks(epoch)
             engine.save_networks("latest")
+    if selected_epoch is not None and not quiet:
+        print(f"[early-stop] selected checkpoint: epoch "
+              f"{selected_epoch} (held-out misfit {best_h:.6f}) "
+              f"-> tag 'selected'")
     return engine, history
 
 

@@ -1016,3 +1016,29 @@ def test_elastic_snl2_misfit_shot_normalized():
     j_start = float(eng._physics_loss_raw(m_start, idx, pd))
     j_true = float(eng._physics_loss_raw(m_true, idx, pd))
     assert j_true < 0.2 * j_start, (j_true, j_start)
+
+
+def test_elastic_holdout_early_stopping(tmp_path):
+    """cfg.holdout_shots: k evenly spaced shots never enter the
+    training pool, their misfit is logged as loss_H every
+    holdout_every epochs, and the train loop saves the best
+    final-stage loss_H checkpoint as 'selected' (the unsupervised
+    replacement for the reference's manual --epoch N resume practice,
+    trainVelAutoElMar22ModelPhy.sh)."""
+    cfg = get_workload("marmousi_elastic", **SMALL_EL).replace(
+        name="t_holdout", save_dir=str(tmp_path),
+        lstart=1, freq_stages=(4.0, 8.0), stage_max_epochs=3,
+        plateau_history=2, holdout_shots=2, holdout_every=2)
+    eng, hist = train(cfg, epochs=10, quiet=True)
+    hold = np.asarray(eng._holdout_idx)
+    pool = np.asarray(eng._train_pool)
+    assert len(hold) == 2 and len(pool) == cfg.num_shots - 2
+    assert not set(hold.tolist()) & set(pool.tolist())
+    hs = [r["loss_H"] for r in hist if "loss_H" in r]
+    assert len(hs) >= 2 and all(np.isfinite(hs))
+    sel = [r["selected_epoch"] for r in hist if "selected_epoch" in r]
+    assert sel, "no selected checkpoint recorded"
+    assert os.path.exists(os.path.join(
+        str(tmp_path), "t_holdout", "selected_net_G.npz"))
+    # the selected tag loads back
+    eng.load_networks("selected")
