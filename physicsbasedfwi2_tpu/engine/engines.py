@@ -1013,6 +1013,12 @@ class ElasticDIPEngine(EngineBase):
         self._step_cache = {}
         self._stage_cache = {}
         self._phase_reset_done = False
+        # trailing-tether state (cfg.tether_mode="stage"): the
+        # reference model the tether pulls toward, refreshed at stage
+        # advances / every tether_refresh_epochs
+        self._tether_ref = None
+        self._tether_stage_i = -1
+        self._tether_epoch = 0
 
     def _illum_weight(self):
         """DENISE EPRECOND: reciprocal source-illumination weight,
@@ -1451,10 +1457,30 @@ class ElasticDIPEngine(EngineBase):
             # when cfg.tether_anneal_plateaus > 0
             stage_i = tether_stage
         tw = cfg.tether_weight * cfg.tether_decay ** stage_i
+        tether_m = self.lowf[0]
+        if cfg.tether_weight > 0 and cfg.tether_mode == "stage":
+            # trailing (proximal) tether: pull toward the model
+            # snapshot at the start of the current segment.  Each
+            # segment's displacement is bounded like the fixed tether
+            # bounds it, but the reference follows locked-in progress,
+            # so continuation can descend arbitrarily far while
+            # null-space drift is re-zeroed per segment — the
+            # seed-robust flagship recipe (docs/RESULTS.md round 5).
+            if use_physics:
+                refresh = (self._tether_ref is None
+                           or stage_i != self._tether_stage_i
+                           or (cfg.tether_refresh_epochs > 0
+                               and epoch - self._tether_epoch
+                               >= cfg.tether_refresh_epochs))
+                if refresh:
+                    self._tether_ref = self._sample_model(self.params)[0]
+                    self._tether_stage_i = stage_i
+                    self._tether_epoch = epoch
+                tether_m = self._tether_ref
         phys = dict(self._stage_pack(fc),
                     fw=jnp.asarray(self._field_weights(epoch),
                                    jnp.float32),
-                    tw=jnp.float32(tw), lowf_m=self.lowf[0])
+                    tw=jnp.float32(tw), lowf_m=tether_m)
         if cfg.grad_illum_eps > 0:
             phys["ilw"] = self._illum_weight()
         pack = {"in_vx": self.in_vx, "in_vz": self.in_vz,

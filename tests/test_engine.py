@@ -617,6 +617,41 @@ def test_elastic_dataroot_shot_count_wins(tmp_path, capsys):
     assert set(seen[0].tolist()) == {0, 1, 2}
 
 
+def test_elastic_trailing_tether_refreshes():
+    """tether_mode="stage": the tether reference is the model snapshot
+    at the current segment's start — refreshed on stage advance and
+    every tether_refresh_epochs inside a stage — instead of the fixed
+    low-frequency model (whose equilibrium caps total progress,
+    docs/RESULTS.md)."""
+    cfg = get_workload("marmousi_elastic", **SMALL_EL).replace(
+        name="t_trail", save_dir="/tmp/fwi_test_ck",
+        tether_weight=0.3, tether_mode="stage",
+        tether_refresh_epochs=3, freq_stages=(6.0, 12.0))
+    eng = create_engine(cfg)
+    assert eng._tether_ref is None
+    eng.optimize_parameters(1, freq=6.0)
+    ref1 = eng._tether_ref
+    assert ref1 is not None and ref1.shape == eng.lowf[0].shape
+    # same stage, within the refresh window: reference held
+    eng.optimize_parameters(2, freq=6.0)
+    assert eng._tether_ref is ref1
+    # stage advance refreshes
+    eng.optimize_parameters(3, freq=12.0)
+    ref2 = eng._tether_ref
+    assert ref2 is not ref1
+    # interval refresh inside the final stage (3 epochs later)
+    eng.optimize_parameters(4, freq=12.0)
+    eng.optimize_parameters(5, freq=12.0)
+    assert eng._tether_ref is ref2
+    eng.optimize_parameters(6, freq=12.0)
+    assert eng._tether_ref is not ref2
+    # fixed-lowf mode never touches the trailing state
+    eng2 = create_engine(cfg.replace(tether_mode="lowf",
+                                     name="t_trail2"))
+    eng2.optimize_parameters(1, freq=6.0)
+    assert eng2._tether_ref is None
+
+
 def test_elastic_illumination_preconditioning():
     """grad_illum_eps > 0 divides the processed gradient by the
     starting model's source-illumination map (DENISE EPRECOND): deep
