@@ -196,7 +196,8 @@ def prepare_elastic_tree(vp: np.ndarray, out_root: str, *,
                          src_depth_row: int | None = None,
                          rcv_depth_row: int | None = None,
                          rcv_follow_seabed: bool = False,
-                         rho_start: str = "smooth"):
+                         rho_start: str = "smooth",
+                         obs_scheme: str = "auto"):
     """vp [nz, nx] -> unalignedVelABCDEl npy tree (A/D = vx/vz
     gathers, B = [Vp;Vs;Rho]/100, C = low-freq triple /100 — the
     reference's hectometer storage units,
@@ -256,8 +257,17 @@ def prepare_elastic_tree(vp: np.ndarray, out_root: str, *,
     # simulate with the operator the engine inverts with on this
     # platform (fused Pallas ring kernel on TPU, XLA elsewhere) so the
     # stored gathers are operator-consistent with the inversion
+    # obs_scheme="reference" instead forces the split-PML reference
+    # scheme (ops/elastic.py) regardless of platform — a DIFFERENT
+    # discretization from the fast sponge scheme the engine inverts
+    # with, which kills the inverse crime: the stored gathers carry
+    # scheme/boundary discretization error the inversion cannot fit,
+    # like the reference's DENISE-generated obs inverted by a separate
+    # run (networks.py:7733).
     import jax as _jax
-    if _jax.devices()[0].platform == "tpu":
+    if obs_scheme == "reference":
+        sim_el = simulate_elastic
+    elif _jax.devices()[0].platform == "tpu":
         from physicsbasedfwi2_tpu.ops.pallas_elastic_fused import (
             simulate_elastic_ring)
         sim_el = simulate_elastic_ring
@@ -435,6 +445,15 @@ def main(argv=None):
                         "known-density benchmark (trainC carries the "
                         "exact Gardner rho, so the true vp/vs is an "
                         "exact misfit minimum)")
+    p.add_argument("--obs-scheme", choices=("auto", "reference"),
+                   default="auto",
+                   help="elastic observed-data propagator: 'auto' = "
+                        "the scheme the engine inverts with (fused "
+                        "ring kernel on TPU); 'reference' = the "
+                        "split-PML scheme (ops/elastic.py) — a "
+                        "different discretization, so the inversion "
+                        "faces real modeling error instead of an "
+                        "inverse crime")
     p.add_argument("--unit", choices=("m/s", "km/s", "auto"),
                    default="auto")
     args = p.parse_args(argv)
@@ -463,7 +482,8 @@ def main(argv=None):
                 m, args.out, src_depth_row=args.src_depth_row,
                 rcv_depth_row=args.rcv_depth_row,
                 rcv_follow_seabed=args.rcv_follow_seabed,
-                rho_start=args.rho_start, **kw)
+                rho_start=args.rho_start,
+                obs_scheme=args.obs_scheme, **kw)
         print(f"wrote {args.physics} tree to {args.out} "
               f"(grid {args.nz}x{args.nx})")
     if args.su_obs is not None:

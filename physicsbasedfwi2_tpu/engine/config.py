@@ -521,7 +521,8 @@ register_workload("marmousi_elastic_real",
 register_workload("marmousi_elastic_robust",
                   _EL.replace(tether_weight=0.3, tether_mode="stage",
                               tether_refresh_epochs=150,
-                              phase_reset_opt=True))
+                              phase_reset_opt=True,
+                              holdout_shots=3, holdout_every=10))
 # L-BFGS variant (AutoElMar22LBFGS_model.py:128-137).  L-BFGS builds
 # its own curvature model from (value, grad) pairs, so the Adam-era
 # gradient conditioning above (grad_scale=1e6 fixed rescale, depth^2
@@ -609,6 +610,25 @@ register_workload("seam_elastic_seabed", _EL.replace(
     extras={"src_depth_row": 6, "rcv_follow_seabed": True}))
 register_workload("mcdip_uq", _EL.replace(
     netG="AutoElMarMCDIP22", dropout=0.1))
+# Round-5 recipes: the trailing tether (tether_mode="stage", see
+# marmousi_elastic_robust) bounds per-segment drift without the fixed
+# tether's equilibrium cap — SEAM's round-4 best was -5.4% AT that
+# cap (docs/RESULTS.md), and untethered SEAM drifts.  SEAM also gets
+# DENISE-style illumination preconditioning (EPRECOND): at dx=30 with
+# a 600 m water column the z^2 ramp under-weights the deep section
+# the 5 Hz band must fill in.
+register_workload("seam_elastic_robust", _EL.replace(
+    netG="AutoSEAMMar22", dx=30.0, nz=120, nx=324, nt=2568, dt=0.0035,
+    freq=5.0, num_shots=38, shots_per_iter=4, num_receivers=300,
+    water_rows=20, freq_stages=_SEAM_STAGES,
+    extras={"src_depth_row": 6, "rcv_depth_row": 23},
+    tether_mode="stage", tether_refresh_epochs=150,
+    phase_reset_opt=True, grad_illum_eps=0.05,
+    holdout_shots=3, holdout_every=10))
+register_workload("mcdip_uq_robust", _EL.replace(
+    netG="AutoElMarMCDIP22", dropout=0.1,
+    tether_mode="stage", tether_refresh_epochs=150,
+    phase_reset_opt=True, holdout_shots=3, holdout_every=10))
 
 # --- field-data workload (AutoRealData, networks.py:9937-10580) ----------
 # Marine setting: DT=3.5 ms, TIME=7.0035 s (nt=2001), 5 Hz source,
