@@ -104,6 +104,9 @@ def main(argv=None):
                         "arms: L-BFGS needs a smooth objective)")
     p.add_argument("--lbfgs-memory", type=int, default=10)
     p.add_argument("--png", default=None)
+    p.add_argument("--only", default=None,
+                   help="substring filter on arm labels (e.g. "
+                        "'acoustic' re-runs just the acoustic pair)")
     args = p.parse_args(argv)
 
     arms = [
@@ -118,6 +121,8 @@ def main(argv=None):
             ("marmousi_acoustic",
              {"misfit": "l2", "optimizer": "lbfgs"}, "acoustic_lbfgs"),
         ]
+    if args.only:
+        arms = [a for a in arms if args.only in a[2]]
     results = []
     for workload, ov, label in arms:
         r = run_arm(workload, args.budget,

@@ -182,15 +182,10 @@ def time_fn(fn, reps):
     return (time.perf_counter() - t0) / reps
 
 
-def main(argv=None):
-    p = argparse.ArgumentParser()
-    p.add_argument("--nt", type=int, default=4001)
-    p.add_argument("--reps", type=int, default=8)
-    p.add_argument("--kc", type=int, default=32)
-    args = p.parse_args(argv)
-
-    # flagship acoustic shape (BASELINE config 1)
-    grid = Grid2D(nz=151, nx=200, dx=10.0, nt=args.nt, dt=0.001,
+def measure_once(args, nt):
+    """One full measurement pass at record length ``nt``; returns
+    {variant: s_per_call}.  Called once per forced recompile."""
+    grid = Grid2D(nz=151, nx=200, dx=10.0, nt=nt, dt=0.001,
                   pml_width=20)
     cfg = AcousticConfig(grid=grid, chunk=64, vmax_pml=5000.0)
     rng = np.random.default_rng(0)
@@ -219,12 +214,12 @@ def main(argv=None):
         fn = build_variant(vp, wav, src_z, src_x, rcv_z, cfg,
                            KC=args.kc, **kw)
         dt = time_fn(fn, args.reps)
-        per_step = dt / (ns * args.nt)
+        per_step = dt / (ns * nt)
         # stencil arithmetic: 17 arith + 8 shift ops / cell / step
         ops = 25 * cells / per_step / 1e12
         row = {"variant": name, "s_per_call": round(dt, 4),
                "ns_per_cell_step": round(per_step / cells * 1e9, 4),
-               "stencil_Tops": round(ops, 3)}
+               "stencil_Tops": round(ops, 3), "nt": nt}
         if prev is not None:
             row["delta_s"] = round(dt - prev, 4)
         prev = dt
@@ -260,7 +255,53 @@ def main(argv=None):
         "src_cost_s": results["+src"].get("delta_s"),
         "rcv_cost_s": results["+rcv"].get("delta_s"),
         "ckpt_cost_s": results["+ckpt"].get("delta_s"),
+        "nt": nt,
     }), flush=True)
+    out = {k: v["s_per_call"] for k, v in results.items()}
+    out["full_fused"] = round(dt_full, 4)
+    return out
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--nt", type=int, default=4001)
+    p.add_argument("--reps", type=int, default=8)
+    p.add_argument("--kc", type=int, default=32)
+    p.add_argument("--compiles", type=int, default=1,
+                   help="forced-recompile passes: pass k runs at "
+                        "nt+k (a 0.025%% work change, far below the "
+                        "tens-of-percent Mosaic scheduling variance "
+                        "being measured), so every kernel gets a "
+                        "fresh compile; the summary reports "
+                        "median/min/max per variant (VERDICT r4 "
+                        "weak #5: one compile per variant is an "
+                        "argument, not a measurement)")
+    args = p.parse_args(argv)
+
+    passes = []
+    for k in range(max(args.compiles, 1)):
+        print(json.dumps({"pass": k, "nt": args.nt + k}), flush=True)
+        passes.append(measure_once(args, args.nt + k))
+    if len(passes) > 1:
+        summary = {}
+        for key in passes[0]:
+            vals = sorted(p_[key] for p_ in passes)
+            med = vals[len(vals) // 2] if len(vals) % 2 else (
+                vals[len(vals) // 2 - 1] + vals[len(vals) // 2]) / 2
+            summary[key] = {"median_s": round(med, 4),
+                            "min_s": vals[0], "max_s": vals[-1],
+                            "spread_pct": round(
+                                100 * (vals[-1] - vals[0])
+                                / max(med, 1e-12), 1)}
+        med_sten = summary["stencil"]["median_s"]
+        proj = med_sten * (1.0 + 1.0 + 29.0 / 25.0)
+        print(json.dumps({
+            "summary": summary, "compiles": len(passes),
+            "median_structural_overhead_s": round(
+                summary["full_fused"]["median_s"] - proj, 4),
+            "median_src_cost_s": round(
+                summary["+src"]["median_s"] - med_sten, 4),
+        }), flush=True)
 
 
 if __name__ == "__main__":
