@@ -93,6 +93,34 @@ class ExperimentConfig:
                                        # evaluations (each costs a
                                        # forward sim of the held-out
                                        # shots)
+    guard_patience: int = 0            # >0: drift guard ON — an
+                                       # UNSUPERVISED trust region on
+                                       # loss_H.  Untethered descent is
+                                       # a seed lottery (2/3 seeds
+                                       # catapult into data-consistent
+                                       # drift basins the TRAIN misfit
+                                       # cannot reject, runs_r4/
+                                       # probe_{h,i,j}); the held-out
+                                       # misfit DOES reject them
+                                       # (measured: runs_r5/el_armB_s1
+                                       # drift has loss_H 0.245 vs
+                                       # 0.178 at its best).  train.py
+                                       # snapshots the best-loss_H
+                                       # model per continuation stage;
+                                       # after this many CONSECUTIVE
+                                       # loss_H evals above guard_tol x
+                                       # the stage best, it reverts the
+                                       # model to that snapshot with a
+                                       # fresh optimizer (the catapult
+                                       # is an Adam second-moment
+                                       # artifact; phase_reset_opt
+                                       # rationale) and re-descends.
+    guard_tol: float = 1.05            # "worse" threshold: loss_H >
+                                       # guard_tol x stage best counts
+                                       # toward guard_patience
+    guard_lr_ramp: int = 0             # >0: linear lr ramp over this
+                                       # many epochs after each revert
+                                       # (bounds the re-descent kick)
     supervised_weight: float = 0.0     # model-MSE term weight
     anchor_weight: float = 0.0         # optional low-freq tether in the
                                        # physics phase (off = reference)
@@ -511,18 +539,23 @@ register_workload("marmousi_elastic_real",
                   _EL.replace(tether_weight=0.0, seed=0))
 # Seed-robust flagship recipe (round 5): untethered descent inverts
 # but is a seed lottery (2 of 3 seeds diverge 6-8x above start,
-# runs_r4/probe_{h,i,j}); the fixed lowf tether is safe for every
-# probed seed but caps progress at its equilibrium ~5% below start.
-# The trailing ("stage") tether keeps the fixed tether's per-segment
-# drift bound while moving the reference along with locked-in
-# progress: refreshed at each continuation-stage advance and every
-# 150 epochs inside the final stage.  phase_reset_opt bounds the
-# warmup->physics catapult (fresh Adam state at the switch).
+# runs_r4/probe_{h,i,j}).  Tethers cannot fix this: a strong trailing
+# tether bounds drift but chokes descent to ~0.95 x start at 1500
+# epochs (runs_r5/el_robust_s1, measured vs the warmup-end anchor),
+# and a weak/decaying one RATCHETS drift instead (runs_r5/el_armB_s1
+# ends 1.4 x start).  What works is untethered descent under the
+# loss_H DRIFT GUARD (guard_*): the held-out misfit rejects the
+# drift basins the train misfit cannot (armB drift: loss_H 0.245 vs
+# 0.178 at its best), so the train loop snapshots the best-loss_H
+# model per stage and rolls drift segments back with a fresh
+# optimizer.  phase_reset_opt bounds the warmup->physics catapult;
+# guard_lr_ramp bounds the post-revert re-kick.
 register_workload("marmousi_elastic_robust",
-                  _EL.replace(tether_weight=0.3, tether_mode="stage",
-                              tether_refresh_epochs=150,
+                  _EL.replace(tether_weight=0.0,
                               phase_reset_opt=True,
-                              holdout_shots=3, holdout_every=10))
+                              holdout_shots=3, holdout_every=10,
+                              guard_patience=2, guard_tol=1.05,
+                              guard_lr_ramp=30))
 # L-BFGS variant (AutoElMar22LBFGS_model.py:128-137).  L-BFGS builds
 # its own curvature model from (value, grad) pairs, so the Adam-era
 # gradient conditioning above (grad_scale=1e6 fixed rescale, depth^2
@@ -610,25 +643,27 @@ register_workload("seam_elastic_seabed", _EL.replace(
     extras={"src_depth_row": 6, "rcv_follow_seabed": True}))
 register_workload("mcdip_uq", _EL.replace(
     netG="AutoElMarMCDIP22", dropout=0.1))
-# Round-5 recipes: the trailing tether (tether_mode="stage", see
-# marmousi_elastic_robust) bounds per-segment drift without the fixed
-# tether's equilibrium cap — SEAM's round-4 best was -5.4% AT that
-# cap (docs/RESULTS.md), and untethered SEAM drifts.  SEAM also gets
-# DENISE-style illumination preconditioning (EPRECOND): at dx=30 with
-# a 600 m water column the z^2 ramp under-weights the deep section
-# the 5 Hz band must fill in.
+# Round-5 recipes: untethered descent under the loss_H drift guard
+# (see marmousi_elastic_robust — tethers either choke descent or
+# ratchet drift, measured in runs_r5/el_robust_s1 / el_armB_s1).
+# SEAM's round-4 best was -5.4% at the fixed-tether equilibrium and
+# untethered SEAM drifts; the guard rolls drift segments back while
+# keeping real descent.  SEAM also gets DENISE-style illumination
+# preconditioning (EPRECOND): at dx=30 with a 600 m water column the
+# z^2 ramp under-weights the deep section the 5 Hz band must fill in.
 register_workload("seam_elastic_robust", _EL.replace(
     netG="AutoSEAMMar22", dx=30.0, nz=120, nx=324, nt=2568, dt=0.0035,
     freq=5.0, num_shots=38, shots_per_iter=4, num_receivers=300,
     water_rows=20, freq_stages=_SEAM_STAGES,
     extras={"src_depth_row": 6, "rcv_depth_row": 23},
-    tether_mode="stage", tether_refresh_epochs=150,
-    phase_reset_opt=True, grad_illum_eps=0.05,
-    holdout_shots=3, holdout_every=10))
+    tether_weight=0.0, phase_reset_opt=True, grad_illum_eps=0.05,
+    holdout_shots=3, holdout_every=10,
+    guard_patience=2, guard_tol=1.05, guard_lr_ramp=30))
 register_workload("mcdip_uq_robust", _EL.replace(
     netG="AutoElMarMCDIP22", dropout=0.1,
-    tether_mode="stage", tether_refresh_epochs=150,
-    phase_reset_opt=True, holdout_shots=3, holdout_every=10))
+    tether_weight=0.0, phase_reset_opt=True,
+    holdout_shots=3, holdout_every=10,
+    guard_patience=2, guard_tol=1.05, guard_lr_ramp=30))
 
 # --- field-data workload (AutoRealData, networks.py:9937-10580) ----------
 # Marine setting: DT=3.5 ms, TIME=7.0035 s (nt=2001), 5 Hz source,

@@ -1019,6 +1019,9 @@ class ElasticDIPEngine(EngineBase):
         self._tether_ref = None
         self._tether_stage_i = -1
         self._tether_epoch = 0
+        # drift-guard state (cfg.guard_patience>0): epoch of the last
+        # revert, for the post-revert lr ramp
+        self._guard_ramp_from = None
 
     def _illum_weight(self):
         """DENISE EPRECOND: reciprocal source-illumination weight,
@@ -1448,6 +1451,14 @@ class ElasticDIPEngine(EngineBase):
             if use_physics and cfg.phase_lr_ramp > 0:
                 # linear lr ramp over the first physics epochs
                 lr *= min(1.0, (epoch - cfg.lstart) / cfg.phase_lr_ramp)
+            if (use_physics and cfg.guard_lr_ramp > 0
+                    and self._guard_ramp_from is not None):
+                # same ramp after each drift-guard revert: the revert
+                # re-initialized Adam, so the first steps are the
+                # catapult-prone ones
+                k = epoch - self._guard_ramp_from
+                if k < cfg.guard_lr_ramp:
+                    lr *= (k + 1) / cfg.guard_lr_ramp
             _set_lr(self.opt_state, lr)
         step = self._get_step()
         stage_i = (cfg.freq_stages.index(fc)
@@ -1522,6 +1533,18 @@ class ElasticDIPEngine(EngineBase):
         m = self._sample_model(self.params)[0]
         return float(self._step_cache["holdout"](
             m, {"wav": wav, "ovx": ovx, "ovz": ovz}))
+
+    def guard_revert(self, params, epoch: int):
+        """Drift-guard revert (cfg.guard_patience, train.py): restore
+        the best-held-out-misfit parameter snapshot with a FRESH
+        optimizer (the catapult mechanism is a stale Adam second
+        moment — phase_reset_opt rationale) and start the post-revert
+        lr ramp.  The trailing-tether reference, if any, is reset so
+        the next segment anchors at the restored model."""
+        self.params = params
+        self.opt_state = self.opt.init(params)
+        self._guard_ramp_from = epoch
+        self._tether_ref = None
 
     def _sample_model(self, params, rng=None):
         """One deterministic (rng=None) or dropout-sampled model from

@@ -216,6 +216,24 @@ def train(cfg: ExperimentConfig, *, epochs: int | None = None,
     # model-MSE epoch, which needs the ground truth)
     best_h = float("inf")
     selected_epoch = None
+    # drift guard (cfg.guard_patience > 0): an unsupervised trust
+    # region on loss_H.  Track the best held-out misfit PER
+    # continuation stage (loss_H scales jump at stage advances) and
+    # its parameter snapshot; after guard_patience consecutive evals
+    # above guard_tol x the stage best, revert the model to that
+    # snapshot with a fresh optimizer (engine.guard_revert).  This is
+    # what makes untethered descent seed-robust: the catapult/drift
+    # basins that the TRAIN misfit cannot reject (docs/RESULTS.md
+    # line-scan) ARE rejected by the held-out misfit (measured,
+    # runs_r5/el_armB_s1), so drift segments get rolled back while
+    # genuine descent is kept at full untethered speed.
+    guard_on = (cfg.guard_patience > 0 and cfg.holdout_shots > 0
+                and hasattr(engine, "guard_revert"))
+    guard_best_h = float("inf")
+    guard_snap = None
+    guard_worse = 0
+    guard_stage_i = 0
+    guard_reverts = 0
     if profile_dir and profile_epochs > 0:
         import jax
         jax.profiler.start_trace(profile_dir)
@@ -236,6 +254,39 @@ def train(cfg: ExperimentConfig, *, epochs: int | None = None,
                 losses = engine.optimize_parameters(epoch)
             for k, v in losses.items():
                 agg[k] += v / iters_per_epoch
+        # ---- drift guard (before the stage advance: this epoch's
+        # loss_H was evaluated at the CURRENT stage's band) ----
+        guard_fired = None
+        if guard_on and epoch == cfg.lstart:
+            # anchor snapshot at the warmup->physics boundary: the
+            # catapult can outrun the first scheduled loss_H eval
+            # (probe F drifted 3x within 30 physics epochs)
+            guard_best_h = engine.holdout_misfit(stages[stage_i])
+            guard_snap = engine.params
+            guard_stage_i = stage_i
+        elif guard_on and "loss_H" in agg and epoch > cfg.lstart:
+            h = agg["loss_H"]
+            if stage_i != guard_stage_i:
+                guard_stage_i, guard_worse = stage_i, 0
+                guard_best_h, guard_snap = h, engine.params
+            elif h < guard_best_h:
+                guard_best_h, guard_snap = h, engine.params
+                guard_worse = 0
+            elif h > cfg.guard_tol * guard_best_h:
+                guard_worse += 1
+                if (guard_worse >= cfg.guard_patience
+                        and guard_snap is not None):
+                    engine.guard_revert(guard_snap, epoch)
+                    guard_worse = 0
+                    guard_reverts += 1
+                    guard_fired = epoch
+                    if not quiet:
+                        print(f"[drift-guard] loss_H {h:.4f} > "
+                              f"{cfg.guard_tol:g} x stage best "
+                              f"{guard_best_h:.4f}: reverted to the "
+                              f"best-loss_H snapshot at epoch {epoch}")
+            else:
+                guard_worse = 0
         # ---- frequency continuation ----
         # (suspended during the lstart warmup: its physics loss is a
         # constant 0, a perfect "plateau" that would race the stage
@@ -263,6 +314,8 @@ def train(cfg: ExperimentConfig, *, epochs: int | None = None,
         rec = {"epoch": epoch, **agg, **val_losses,
                "freq_stage": stages[stage_i],
                "epoch_time": time.time() - t0}
+        if guard_fired is not None:
+            rec["guard_revert"] = guard_fired
         if ("loss_H" in agg and stage_i == len(stages) - 1
                 and agg["loss_H"] < best_h):
             best_h = agg["loss_H"]
@@ -283,6 +336,9 @@ def train(cfg: ExperimentConfig, *, epochs: int | None = None,
         print(f"[early-stop] selected checkpoint: epoch "
               f"{selected_epoch} (held-out misfit {best_h:.6f}) "
               f"-> tag 'selected'")
+    if guard_on and not quiet:
+        print(f"[drift-guard] {guard_reverts} revert(s) over "
+              f"{epochs - start_epoch + 1} epochs")
     return engine, history
 
 

@@ -1077,3 +1077,32 @@ def test_elastic_holdout_early_stopping(tmp_path):
         str(tmp_path), "t_holdout", "selected_net_G.npz"))
     # the selected tag loads back
     eng.load_networks("selected")
+
+
+def test_elastic_drift_guard_reverts(tmp_path):
+    """cfg.guard_patience: the unsupervised loss_H trust region
+    (train.py drift guard).  Script the held-out misfit so the guard
+    logic is tested deterministically: one improvement, then two evals
+    above guard_tol x the stage best -> exactly one revert at
+    patience 2, recorded in history, with the engine's post-revert lr
+    ramp armed (engine.guard_revert) and training continuing finite."""
+    from physicsbasedfwi2_tpu.engine import create_engine
+    cfg = get_workload("marmousi_elastic", **SMALL_EL).replace(
+        name="t_guard", save_dir=str(tmp_path),
+        lstart=1, freq_stages=(4.0,), stage_max_epochs=100,
+        tether_weight=0.0, holdout_shots=2, holdout_every=1,
+        guard_patience=2, guard_tol=1.05, guard_lr_ramp=3)
+    eng = create_engine(cfg)
+    # warmup snapshot 1.0; evals ep2..ep7: improve, worse, worse ->
+    # revert at ep4, then recover
+    seq = iter([1.0, 0.9, 1.2, 1.2, 0.85, 0.8, 0.79])
+    eng.holdout_misfit = lambda fc=None: next(seq)
+    eng2, hist = train(cfg, epochs=7, quiet=True, engine=eng)
+    reverts = [r["guard_revert"] for r in hist if "guard_revert" in r]
+    assert reverts == [4], reverts
+    assert eng._guard_ramp_from == 4
+    assert all(np.isfinite(r["loss_D_MSE"]) for r in hist[1:])
+    # the post-revert evals resumed tracking (0.85 < 0.9 stage best
+    # -> no further revert) and 'selected' still points at the best
+    sel = [r["selected_epoch"] for r in hist if "selected_epoch" in r]
+    assert sel and sel[-1] == 7, sel
