@@ -121,6 +121,40 @@ class ExperimentConfig:
     guard_lr_ramp: int = 0             # >0: linear lr ramp over this
                                        # many epochs after each revert
                                        # (bounds the re-descent kick)
+    step_cap: float = 0.0              # >0: hard trust region in MODEL
+                                       # space — per iteration, the
+                                       # decoded model may move at most
+                                       # this RMS (m/s over all
+                                       # fields); the parameter update
+                                       # is scaled down otherwise.  The
+                                       # seed catapult is an OVERSHOOT:
+                                       # seeds 1/2 jump 11k -> 19k
+                                       # vp+vs MSE within 9 physics
+                                       # epochs (>= 3.5 m/s RMS per
+                                       # epoch) into a drift basin
+                                       # whose low-band data fit then
+                                       # IMPROVES (loss_H 0.279 ->
+                                       # 0.210 while model MSE doubles,
+                                       # runs_r5/el_guard_s1) — no
+                                       # misfit-side guard can reject
+                                       # it.  Good descent moves ~0.2
+                                       # m/s/epoch net (probe E); a
+                                       # speed limit forces every seed
+                                       # onto that gentle NTK gradient
+                                       # flow instead of the lottery.
+    step_cap_final: float = -1.0       # cap used in the FINAL
+                                       # continuation stage: -1 = same
+                                       # as step_cap, 0 = uncapped
+                                       # (the catapult lives in the
+                                       # low-frequency stages; the
+                                       # final stage carries most of
+                                       # the budget and descends ~2x
+                                       # faster uncapped, with the
+                                       # loss_H drift guard as the
+                                       # insurance there), >0 = that
+                                       # cap.  Threaded through the
+                                       # step pack as data - stage
+                                       # changes never recompile.
     supervised_weight: float = 0.0     # model-MSE term weight
     anchor_weight: float = 0.0         # optional low-freq tether in the
                                        # physics phase (off = reference)
@@ -539,20 +573,36 @@ register_workload("marmousi_elastic_real",
                   _EL.replace(tether_weight=0.0, seed=0))
 # Seed-robust flagship recipe (round 5): untethered descent inverts
 # but is a seed lottery (2 of 3 seeds diverge 6-8x above start,
-# runs_r4/probe_{h,i,j}).  Tethers cannot fix this: a strong trailing
-# tether bounds drift but chokes descent to ~0.95 x start at 1500
-# epochs (runs_r5/el_robust_s1, measured vs the warmup-end anchor),
-# and a weak/decaying one RATCHETS drift instead (runs_r5/el_armB_s1
-# ends 1.4 x start).  What works is untethered descent under the
-# loss_H DRIFT GUARD (guard_*): the held-out misfit rejects the
-# drift basins the train misfit cannot (armB drift: loss_H 0.245 vs
-# 0.178 at its best), so the train loop snapshots the best-loss_H
-# model per stage and rolls drift segments back with a fresh
-# optimizer.  phase_reset_opt bounds the warmup->physics catapult;
-# guard_lr_ramp bounds the post-revert re-kick.
+# runs_r4/probe_{h,i,j}).  Measured failure modes of every
+# alternative (runs_r5): a strong trailing tether bounds drift but
+# chokes descent to ~0.95 x start at 1500 epochs (el_robust_s1, vs
+# the warmup-end anchor), a weak/decaying one RATCHETS drift
+# (el_armB_s1 ends 1.4 x start), and a loss_H guard alone cannot
+# reject the catapult basin because its low-band data fit IMPROVES
+# while the model diverges (el_guard_s1: loss_H 0.279 -> 0.210 as
+# vp+vs MSE doubles).  What works (el_low_s1, seed 1 - the worst
+# round-4 offender - descends monotonically):
+# - START THE LADDER AT 2.5 Hz: at 4 Hz the lowf start sits on a
+#   basin boundary and the seed decides which way the DIP flows; the
+#   2.5 Hz stage builds a background that points every probed seed
+#   at the true basin (the catapult was measured at the 4 Hz stage,
+#   el_cap_s1/el_guard_s1).
+# - step_cap=1.0 m/s RMS/iter: a hard model-space trust region so no
+#   seed can jump basins in the 9-epoch catapult window; released in
+#   the final stage (step_cap_final=0) where it would halve descent
+#   speed and the drift risk is the slow kind the guard catches.
+# - guard_*: the loss_H trust region reverts late/slow drift
+#   segments (the armB failure mode, where loss_H DOES separate).
+# phase_reset_opt bounds the warmup->physics switch.  For adversarial
+# inits beyond the probed seeds, `fwi-race` (engine/race.py) wraps
+# this recipe in a K-seed race with unsupervised final-stage loss_H
+# selection.
 register_workload("marmousi_elastic_robust",
                   _EL.replace(tether_weight=0.0,
                               phase_reset_opt=True,
+                              freq_stages=(2.5, 4.0, 6.0, 8.0,
+                                           10.0, 15.0, 20.0),
+                              step_cap=1.0, step_cap_final=0.0,
                               holdout_shots=3, holdout_every=10,
                               guard_patience=2, guard_tol=1.05,
                               guard_lr_ramp=30))
@@ -657,11 +707,14 @@ register_workload("seam_elastic_robust", _EL.replace(
     water_rows=20, freq_stages=_SEAM_STAGES,
     extras={"src_depth_row": 6, "rcv_depth_row": 23},
     tether_weight=0.0, phase_reset_opt=True, grad_illum_eps=0.05,
+    step_cap=1.0, step_cap_final=0.0,
     holdout_shots=3, holdout_every=10,
     guard_patience=2, guard_tol=1.05, guard_lr_ramp=30))
 register_workload("mcdip_uq_robust", _EL.replace(
     netG="AutoElMarMCDIP22", dropout=0.1,
     tether_weight=0.0, phase_reset_opt=True,
+    freq_stages=(2.5, 4.0, 6.0, 8.0, 10.0, 15.0, 20.0),
+    step_cap=1.0, step_cap_final=0.0,
     holdout_shots=3, holdout_every=10,
     guard_patience=2, guard_tol=1.05, guard_lr_ramp=30))
 

@@ -1399,6 +1399,41 @@ class ElasticDIPEngine(EngineBase):
             else:
                 updates, opt_state = self.opt.update(grads, opt_state,
                                                      params)
+            if cfg.step_cap > 0 and use_physics:
+                # hard model-space trust region (cfg.step_cap): scale
+                # the whole parameter update so the decoded model
+                # moves at most step_cap m/s RMS this iteration.  Two
+                # extra decoder forwards (~1M-param CNN) per step —
+                # negligible next to the physics kernel.
+                def _decode(p):
+                    deltas, _ = self.net.apply(
+                        p, pack["in_vx"], pack["in_vz"],
+                        deterministic=True)
+                    return apply_elastic_output(
+                        deltas, pack["lowf"], pack["true_m"],
+                        delta_scale=self.delta_scale,
+                        clip_min=self.clip_min, clip_max=self.clip_max,
+                        pin_rows=cfg.water_rows,
+                        clip_mode=cfg.clip_mode)
+                m_old = _decode(params)
+
+                def _dm(scale):
+                    scaled = jax.tree_util.tree_map(
+                        lambda u: scale * u, updates)
+                    m_try = _decode(optax.apply_updates(params, scaled))
+                    return jnp.sqrt(jnp.mean((m_try - m_old) ** 2))
+
+                # two fixed-point rounds: weight->model response is
+                # nonlinear (GroupNorm), so one first-order scaling
+                # overshoots the cap by ~50%; the second measurement
+                # at the scaled update tightens it.  The cap VALUE is
+                # step data (pack["cap"]) so per-stage caps
+                # (step_cap_final) never recompile.
+                cap = pack["cap"]
+                s = jnp.minimum(1.0, cap / (_dm(1.0) + 1e-20))
+                s = s * jnp.minimum(1.0, cap / (_dm(s) + 1e-20))
+                updates = jax.tree_util.tree_map(lambda u: s * u,
+                                                 updates)
             params = optax.apply_updates(params, updates)
             return params, opt_state, loss, loss_d, mse
 
@@ -1494,9 +1529,18 @@ class ElasticDIPEngine(EngineBase):
                     tw=jnp.float32(tw), lowf_m=tether_m)
         if cfg.grad_illum_eps > 0:
             phys["ilw"] = self._illum_weight()
+        cap = cfg.step_cap
+        if (cfg.step_cap > 0 and cfg.freq_stages
+                and stage_i == len(cfg.freq_stages) - 1):
+            # final continuation stage: step_cap_final (-1 = keep,
+            # 0 = effectively uncapped, >0 = that value)
+            if cfg.step_cap_final == 0:
+                cap = 1e9
+            elif cfg.step_cap_final > 0:
+                cap = cfg.step_cap_final
         pack = {"in_vx": self.in_vx, "in_vz": self.in_vz,
                 "lowf": self.lowf, "true_m": self.true_m,
-                "phys": phys}
+                "cap": jnp.float32(cap), "phys": phys}
         self.params, self.opt_state, loss, loss_d, mse = step(
             self.params, self.opt_state, idx, s2, use_physics, pack)
         loss_d, mse = map(float, jax.device_get((loss_d, mse)))

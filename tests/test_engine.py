@@ -1106,3 +1106,24 @@ def test_elastic_drift_guard_reverts(tmp_path):
     # -> no further revert) and 'selected' still points at the best
     sel = [r["selected_epoch"] for r in hist if "selected_epoch" in r]
     assert sel and sel[-1] == 7, sel
+
+
+def test_seed_race_selects_and_continues(tmp_path):
+    """engine.race: K seeds probe, the best FINAL-STAGE held-out
+    misfit wins, and the winner continues from its 'selected'
+    checkpoint to the full budget (the unsupervised version of the
+    reference's manual --continue_train --epoch N practice)."""
+    from physicsbasedfwi2_tpu.engine.race import race
+    cfg = get_workload("marmousi_elastic", **SMALL_EL).replace(
+        name="t_race", save_dir=str(tmp_path),
+        lstart=1, freq_stages=(4.0, 8.0), stage_max_epochs=3,
+        plateau_history=2, holdout_shots=2, holdout_every=2)
+    wseed, summaries, eng, hist = race(
+        cfg, seeds=(0, 1), probe_epochs=8, epochs=12, quiet=True)
+    assert wseed in (0, 1)
+    assert len(summaries) == 2
+    assert summaries[0]["best_loss_H"] > 0
+    # winner's combined history covers probe + continuation
+    assert hist[-1]["epoch"] == 12
+    assert os.path.exists(os.path.join(
+        str(tmp_path), f"t_race_s{wseed}", "selected_net_G.npz"))
