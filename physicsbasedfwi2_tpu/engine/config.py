@@ -566,9 +566,12 @@ register_workload("marmousi_elastic", _EL)
 # descent through the continuation stages is what actually inverts —
 # the tether equilibrium caps progress ~5% below the start while
 # probe E (this recipe, seed 0) reaches ~60-70% below it
-# (docs/RESULTS.md round-4 table).  Still seed-sensitive (the data
-# term barely separates basins; seeds 1/2 drift) — the seed here is
-# part of the recipe, as in the reference's fixed-init DIP runs.
+# (docs/RESULTS.md round-4 table).  This is the raw untethered
+# recipe: seed-sensitive by measurement (seeds 1/2 catapult,
+# runs_r4/probe_{h,i,j}) and kept for the round-4 flagship's
+# provenance; the seed-robust production recipe is
+# `marmousi_elastic_robust` (2.5 Hz ladder + step_cap + loss_H
+# guard), optionally wrapped in `fwi-race`.
 register_workload("marmousi_elastic_real",
                   _EL.replace(tether_weight=0.0, seed=0))
 # Seed-robust flagship recipe (round 5): untethered descent inverts

@@ -77,3 +77,68 @@ def test_elastic_real_flagship_inverts(tmp_path):
     stages = {r.get("freq_stage") for r in hist}
     assert len(stages) >= 4, stages
     assert final < 0.75 * start, (final, start)
+
+
+@pytest.mark.parametrize("seed", [1, 2])
+def test_elastic_robust_recipe_is_seed_robust(tmp_path, seed):
+    """Round-5 acceptance gate (VERDICT r4 next #1): the trailing-tether
+    recipe (`marmousi_elastic_robust`) must invert on the seeds that
+    DIVERGED untethered — runs_r4/probe_{h,i,j} ended 3-8x ABOVE start
+    on seeds 1/2 with the round-4 flagship recipe, making it a 1-in-3
+    seed lottery.  Recorded round-5 sweep (runs_r5/el_robust_r5_s{0,1,2},
+    1500 epochs each): all three seeds end 0.52-0.55 x start.  Gate at
+    0.6 x per the acceptance criterion; the reference's production DIP
+    runs never got to pick their noise realization per seed
+    (/root/reference/models/AutoElMar22_model.py:284-534)."""
+    dataroot = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "dataroots", "marm_elastic_kd")
+    if not os.path.isdir(dataroot):
+        pytest.skip("real Marmousi kd tree not prepped (fwi-prep "
+                    "--physics elastic --rho-start true)")
+    epochs = 1500
+    cfg = get_workload("marmousi_elastic_robust").replace(
+        name=f"t_inv_seed{seed}", save_dir=str(tmp_path), seed=seed,
+        dataroot=dataroot, save_epoch_freq=10 ** 9)
+    eng, hist = train(cfg, epochs=epochs, quiet=True)
+
+    start = next(r["loss_M_MSE"] for r in hist
+                 if r["epoch"] == cfg.lstart)
+    final = hist[-1]["loss_M_MSE"]
+    assert final < 0.6 * start, (final, start)
+    # the unsupervised 'selected' checkpoint must exist and be at
+    # least as good as the end-of-budget model (train.py saves the
+    # best final-stage held-out-shot misfit epoch as tag 'selected')
+    sel_epochs = [r["selected_epoch"] for r in hist
+                  if "selected_epoch" in r]
+    assert sel_epochs, "no selected checkpoint was saved"
+    sel = next(r["loss_M_MSE"] for r in hist
+               if r["epoch"] == sel_epochs[-1])
+    assert sel < 0.65 * start, (sel, start)
+
+
+def test_seam_robust_inverts(tmp_path):
+    """Round-5 acceptance gate (VERDICT r4 next #4): SEAM must actually
+    invert, not sit at the round-4 tether equilibrium (-5.4%,
+    runs_r4/seam_r4c).  The `seam_elastic_robust` recipe (trailing
+    tether + EPRECOND illumination preconditioning, grad_illum_eps)
+    reaches 0.75 x start by epoch 200 and holds 0.72-0.73 x through
+    1500 in the recorded run (runs_r5/seam_robust_r5, -27% at budget
+    end, salt body + sediment layering visible in the snapshots).
+    Gate at 0.8 x by epoch 600 to keep margin.  Reference production
+    workload: /root/reference/models/networks.py:9637-9700,
+    trainVelAutoSEAMFull9JulyModelPhy.sh."""
+    dataroot = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "dataroots", "seam_elastic_kd")
+    if not os.path.isdir(dataroot):
+        pytest.skip("SEAM kd tree not prepped (fwi-prep --physics "
+                    "elastic --model seam --rho-start true)")
+    epochs = 600
+    cfg = get_workload("seam_elastic_robust").replace(
+        name="t_inv_seam", save_dir=str(tmp_path), dataroot=dataroot,
+        save_epoch_freq=10 ** 9)
+    eng, hist = train(cfg, epochs=epochs, quiet=True)
+
+    start = next(r["loss_M_MSE"] for r in hist
+                 if r["epoch"] == cfg.lstart)
+    final = hist[-1]["loss_M_MSE"]
+    assert final < 0.8 * start, (final, start)
